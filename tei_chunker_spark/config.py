@@ -1,0 +1,49 @@
+"""Job configuration for the extraction pipeline.
+
+Mirrors the reference chunker's three knobs (reference
+``tei_chunker/chunking.py:60-65``) plus Spark execution knobs that have no
+reference analogue.  ``min_section_size`` is accepted for API compatibility
+but is dead config in the reference too (stored at ``chunking.py:65``, never
+read), so it deliberately has no effect here either.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# The reference HTTP service instantiates HierarchicalChunker(20000, 200)
+# (reference service.py:17); these are the production defaults we inherit.
+DEFAULT_MAX_CHUNK_SIZE = 20000
+DEFAULT_OVERLAP_SIZE = 200
+
+
+@dataclass(frozen=True)
+class ChunkerConfig:
+    """Semantics-bearing knobs. Changing these changes golden outputs."""
+
+    max_chunk_size: int = DEFAULT_MAX_CHUNK_SIZE
+    overlap_size: int = DEFAULT_OVERLAP_SIZE
+    min_section_size: int = 1000  # dead config, kept for parity (chunking.py:65)
+
+
+@dataclass(frozen=True)
+class JobConfig:
+    """Execution knobs. Changing these must NOT change outputs.
+
+    num_buckets is the salt-bucket count used both for the shuffle
+    (repartition key = pmod(xxhash64(doc_id), num_buckets * partitions_per_bucket))
+    and for the checkpoint/resume granularity of the manifest.  At 100 TB /
+    10^12 docs you would raise num_buckets into the thousands so a resume
+    skips completed work at fine granularity; locally small values keep test
+    jobs fast.
+    """
+
+    chunker: ChunkerConfig = field(default_factory=ChunkerConfig)
+    num_buckets: int = 16
+    shuffle_partitions: int = 64
+    # Rows are whole documents (potentially megabytes of XML) so Arrow
+    # batches must stay small to bound Python-worker memory and to keep
+    # skewed docs from stalling a batch.
+    arrow_max_records_per_batch: int = 64
+    input_format: str = "parquet"  # "iceberg" on a real cluster
+    output_format: str = "parquet"
