@@ -1,0 +1,80 @@
+"""Batch driver: ``spark-submit --py-files tei_chunker_spark.zip -m`` style.
+
+Examples
+--------
+Plain one-shot run (no manifest)::
+
+    spark-submit --py-files tei_chunker_spark.zip job.py \
+        --input /data/docs --output /data/spans --no-manifest
+
+Resumable run (default)::
+
+    python -m tei_chunker_spark.job --input /tmp/corpus \
+        --output /tmp/spans --manifest /tmp/manifest --job-id run1
+
+On a cluster, point --input at the Iceberg table path and set
+--input-format iceberg (the plan shape is identical; the scan node changes).
+"""
+from __future__ import annotations
+
+import argparse
+
+from .config import ChunkerConfig, JobConfig
+from .manifest import run_resumable
+from .operators.extract import extract_pipeline
+from .sources.session import get_spark
+
+
+def build_job_config(args: argparse.Namespace) -> JobConfig:
+    return JobConfig(
+        chunker=ChunkerConfig(
+            max_chunk_size=args.max_chunk_size, overlap_size=args.overlap_size
+        ),
+        num_buckets=args.num_buckets,
+        shuffle_partitions=args.shuffle_partitions,
+        input_format=args.input_format,
+    )
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--manifest", default=None)
+    ap.add_argument("--job-id", default="job")
+    ap.add_argument("--no-manifest", action="store_true")
+    ap.add_argument("--max-chunk-size", type=int, default=20000)
+    ap.add_argument("--overlap-size", type=int, default=200)
+    ap.add_argument("--num-buckets", type=int, default=16)
+    ap.add_argument("--shuffle-partitions", type=int, default=64)
+    ap.add_argument("--wave-size", type=int, default=8)
+    ap.add_argument("--input-format", default="parquet")
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--explain", action="store_true")
+    args = ap.parse_args(argv)
+
+    spark = get_spark("tei-extract", master=args.master,
+                      shuffle_partitions=args.shuffle_partitions)
+    job = build_job_config(args)
+
+    if args.no_manifest or not args.manifest:
+        df = spark.read.format(job.input_format).load(args.input)
+        spans = extract_pipeline(df, job)
+        if args.explain:
+            spans.explain("formatted")
+        spans.write.mode("overwrite").parquet(args.output)
+    else:
+        run_resumable(
+            spark,
+            args.input,
+            args.output,
+            args.manifest,
+            job,
+            job_id=args.job_id,
+            wave_size=args.wave_size,
+        )
+    print(f"done: {args.output}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,46 @@
+"""SparkSession factory with the engine's execution defaults.
+
+Every knob here is output-neutral (JobConfig separation): AQE for runtime
+coalescing/skew-join splitting, Arrow for all pandas-UDF traffic, small
+Arrow batches because rows are whole documents, and reused Python workers
+so the per-task interpreter cost amortizes.  On a real cluster the same
+function is used from ``spark-submit --py-files``; master is inherited from
+the submit environment unless explicitly forced (tests/bench force
+``local[N]`` to evidence the two-cluster-size scaling rule).
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "tei-chunker-spark",
+    master: Optional[str] = None,
+    shuffle_partitions: Optional[int] = None,
+    arrow_batch: int = 64,
+) -> SparkSession:
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_MASTER" not in os.environ and not os.environ.get("SPARK_SUBMIT"):
+        master = f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
+    if master:
+        builder = builder.master(master)
+    if shuffle_partitions is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        shuffle_partitions = int(cpus) if cpus and cpus.isdigit() else 32
+    spark = (
+        builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
