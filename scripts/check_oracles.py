@@ -1,0 +1,97 @@
+"""Local replica of the driver's correctness gate: run every
+__spark_entry__.queries() entry on Spark and its oracle_sql() on DuckDB at
+sf0.01; compare row count, column set, and values (order-insensitive).
+
+Run: python scripts/check_oracles.py [query ...]
+"""
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod  # noqa: E402
+from tei_chunker_spark.sources.session import get_spark  # noqa: E402
+from tei_chunker_spark.sources.tables import TABLES  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+        elif df[c].dtype.kind == "f":
+            df[c] = df[c].round(9)
+        elif df[c].dtype.kind in "iu":
+            df[c] = df[c].astype("int64")
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def main() -> None:
+    only = set(sys.argv[1:])
+    spark = get_spark("oracle-check", master="local[16]", shuffle_partitions=16)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"create view {t} as select * from '{SF_DIR}/{t}.parquet'")
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, SF_DIR).toPandas()
+        except Exception as e:
+            failures.append(name)
+            print(f"[SPARK ERROR] {name}: {type(e).__name__}: {str(e)[:400]}")
+            continue
+        if name not in oracles:
+            print(f"[rows-only ] {name}: {len(sdf)} rows, cols={list(sdf.columns)}")
+            continue
+        try:
+            odf = con.sql(oracles[name]).df()
+        except Exception as e:
+            failures.append(name)
+            print(f"[ORACLE ERR] {name}: {type(e).__name__}: {str(e)[:400]}")
+            continue
+        status = []
+        if len(sdf) != len(odf):
+            status.append(f"rowcount {len(sdf)} != {len(odf)}")
+        if sorted(sdf.columns) != sorted(odf.columns):
+            status.append(f"cols {sorted(sdf.columns)} != {sorted(odf.columns)}")
+        if not status:
+            a, b = normalize(sdf), normalize(odf)
+            try:
+                pd.testing.assert_frame_equal(a, b, check_dtype=False, rtol=0, atol=0)
+            except AssertionError as e:
+                status.append("values differ")
+                diff_cols = [
+                    c for c in a.columns if not a[c].equals(b[c])
+                ]
+                print(f"  diff cols: {diff_cols}")
+                for c in diff_cols[:2]:
+                    mask = a[c] != b[c]
+                    print(f"  {c}: spark={a[c][mask].head(3).tolist()} duck={b[c][mask].head(3).tolist()}")
+        if status:
+            failures.append(name)
+            print(f"[MISMATCH  ] {name}: {'; '.join(status)}")
+        else:
+            print(f"[OK        ] {name}: {len(sdf)} rows")
+    print()
+    if failures:
+        print("FAILED:", failures)
+        sys.exit(1)
+    print("ALL ORACLE CHECKS PASSED")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,119 @@
+"""Shared Column builders — all JVM-side built-ins, no Python UDFs.
+
+Everything here stays inside WholeStageCodegen; these are the scalar
+vocabulary used by the text-analysis / dedup / similarity operators.  Each
+builder has a documented DuckDB-SQL equivalent (used by the oracle strings
+in __spark_entry__.py) — portability constraints worth knowing:
+
+* ``md5`` returns lowercase hex in both engines -> portable hash domain;
+  minhash uses *lexicographic min over md5 strings*, which is
+  engine-independent (no integer-hash parity problems).
+* hex-nibble -> int is done with ``instr('0123456789abcdef', c) - 1``
+  (DuckDB: ``strpos``) because neither engine shares the other's native
+  string-hash function.
+* Spark ``sequence(a, b)`` DESCENDS when a > b (it does not return empty),
+  so every sequence is guarded with ``greatest``.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# --- tokens ---------------------------------------------------------------
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens. DuckDB: string_split_regex(trim(x), '\\s+')."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    return F.when(F.length(F.trim(col)) == 0, F.lit(0)).otherwise(
+        F.size(tokens(col))
+    )
+
+
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_count(col: Column) -> Column:
+    """Crude BPE-ish token count: letter runs, single digits, single
+    punctuation. DuckDB: len(regexp_extract_all(x, pattern))."""
+    return F.regexp_count(col, F.lit(BPE_ISH_PATTERN))
+
+
+# --- n-grams / shingles ----------------------------------------------------
+
+
+def word_ngrams(tok: Column, n: int) -> Column:
+    """Array of word n-grams (space-joined). Empty array when too short.
+
+    DuckDB: list comprehension over generate_series (returns empty when
+    stop < start, unlike Spark's descending sequence — hence the guard)."""
+    count = F.size(tok) - (n - 1)
+    idx = F.sequence(F.lit(1), F.greatest(count, F.lit(0)))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(tok, i + k) for k in range(n)]
+    )
+    return F.when(count >= 1, F.transform(idx, gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def char_shingles(col: Column, k: int) -> Column:
+    """Array of character k-grams. DuckDB: [x[i:i+k-1] for i in ...]."""
+    count = F.length(col) - (k - 1)
+    idx = F.sequence(F.lit(1), F.greatest(count, F.lit(0)))
+    return F.when(
+        count >= 1, F.transform(idx, lambda i: F.substring(col, i, k))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+# --- hashing ---------------------------------------------------------------
+
+
+def hex_nibble(c: Column) -> Column:
+    """Value 0-15 of one lowercase hex char.
+
+    DuckDB oracle uses ``strpos('0123456789abcdef', c) - 1`` (same value);
+    Spark side uses base conversion because ``instr``'s needle must be a
+    Python literal."""
+    return F.conv(c, 16, 10).cast("int")
+
+
+def md5_prefix_val(col: Column, chars: int) -> Column:
+    """First ``chars`` hex chars of md5 as an integer (big-endian nibbles).
+
+    DuckDB equivalent composes the same strpos arithmetic."""
+    h = F.md5(col)
+    out = F.lit(0)
+    for j in range(1, chars + 1):
+        out = out * 16 + hex_nibble(F.substring(h, j, 1))
+    return out
+
+
+# --- vectors ---------------------------------------------------------------
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Double-precision dot product in element order (IEEE-deterministic,
+    matches a sequential SQL recomputation)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2norm(a) * l2norm(b))

@@ -1,0 +1,132 @@
+"""Relational operator coverage: joins (broadcast/anti), aggregations
+(hash/rollup), window functions, sessionization, tumbling time windows,
+sorts/top-k — the SURVEY.md §2.2 categories our pipeline uses, each with a
+DuckDB oracle in __spark_entry__.py.
+
+Plans to expect (and what the 100 TB version keeps):
+
+* dims (nation/region) broadcast — no shuffle on the fact side beyond the
+  aggregate's own exchange;
+* aggregates do map-side partial aggregation (HashAggregate x2 around one
+  Exchange);
+* windows shuffle once on the partition key;
+* the anti-join resume filter broadcasts the tiny "done" side.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1 shape: filter -> hash aggregate -> sort."""
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def revenue_by_nation(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Fact-to-fact join with a broadcast dim: revenue per customer nation."""
+    return (
+        lineitem.join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            customer.select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def metrics_rollup(documents: DataFrame) -> DataFrame:
+    """Grouping-set aggregation: per (lang, source), per lang, grand total."""
+    return documents.rollup("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+def top_docs_per_group(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Window top-k: longest documents per language."""
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        documents.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("lang", "doc_id", "n_chars", "rnk")
+    )
+
+
+def events_hourly(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour windows per event type."""
+    return (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+
+
+def events_sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Session windows via the lag/cumulative-sum idiom: a new session
+    starts when the gap to the previous event of the same user exceeds
+    ``gap_seconds``.  One shuffle on user_id."""
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag(F.col("ts")).over(order)
+    new_session = F.when(
+        prev_ts.isNull()
+        | ((F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)) > gap_seconds),
+        1,
+    ).otherwise(0)
+    with_ids = events.withColumn(
+        "session_seq",
+        F.sum(new_session).over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return with_ids.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.round(F.sum("value"), 6).alias("session_value"),
+    )
+
+
+def resume_anti_join(documents: DataFrame) -> DataFrame:
+    """Anti-join demo mirroring the manifest resume path: drop documents
+    whose id is in the (broadcast) completed set."""
+    done = documents.filter(F.col("doc_id") % 10 < 3).select("doc_id")
+    return (
+        documents.join(F.broadcast(done), "doc_id", "left_anti")
+        .select("doc_id", "lang", "n_chars")
+    )

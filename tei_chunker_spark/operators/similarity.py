@@ -1,0 +1,75 @@
+"""Similarity search over an embedding column (array<float>).
+
+* ``ann_bruteforce_topk`` — exact cosine top-k: broadcast the (small) query
+  set against the corpus, rank per query.  The corpus side never shuffles;
+  this is the correctness baseline and the right plan whenever |queries| is
+  broadcastable.
+* ``ann_ivf_topk`` — the scale path: restrict each query to its coarse
+  cell (inverted-file probe).  Here the cell id is the stored ``label``
+  column (standing in for a trained k-means codebook assignment); at 100 TB
+  the corpus is bucketed/partitioned by cell so a probe reads only its
+  cell's files — partition pruning does the fan-out reduction.
+
+Ranking is deterministic: (cosine desc, candidate vec_id asc), cosine
+computed in double precision in element order so the DuckDB oracle
+reproduces values bit-for-bit before rounding.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.columns import cosine
+
+
+def _ranked(pairs: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim_raw").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round(F.col("cos_sim_raw"), 6).alias("cos_sim"),
+        )
+    )
+
+
+def ann_bruteforce_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int = 10
+) -> DataFrame:
+    """Exact top-k neighbors of each query vector (excluding itself)."""
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    pairs = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim_raw", cosine(F.col("q_emb"), F.col("c_emb")))
+    )
+    return _ranked(pairs, k)
+
+
+def ann_ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame:
+    """IVF-style top-k: probe only the query's own coarse cell (label)."""
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("cell"),
+    )
+    c = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("label").alias("cell"),
+    )
+    pairs = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim_raw", cosine(F.col("q_emb"), F.col("c_emb")))
+    )
+    return _ranked(pairs, k)

@@ -1,0 +1,89 @@
+"""Driver-contract tests: a fast subset of __spark_entry__ queries checked
+against their DuckDB oracles at sf0.001 (the full battery runs at sf0.01
+via scripts/check_oracles.py and the round driver)."""
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entrymod
+from tei_chunker_spark.sources.tables import TABLES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver test data not available"
+)
+
+FAST_ORACLED = [
+    "doc_stats",
+    "doc_quality",
+    "doc_langid",
+    "dedup_exact",
+    "dedup_embedding",
+    "ann_bruteforce_topk",
+    "ann_ivf_topk",
+    "resume_anti_join",
+    "metrics_rollup",
+    "top_docs_per_lang",
+    "events_hourly",
+    "events_sessionize",
+    "pricing_summary",
+    "revenue_by_nation",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"create view {t} as select * from '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+        elif df[c].dtype.kind == "f":
+            df[c] = df[c].round(9)
+        elif df[c].dtype.kind in "iu":
+            df[c] = df[c].astype("int64")
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", FAST_ORACLED)
+def test_query_matches_oracle(spark, duck, name):
+    sdf = entrymod.queries()[name](spark, SF_DIR).toPandas()
+    odf = duck.sql(entrymod.oracle_sql()[name]).df()
+    assert len(sdf) == len(odf)
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    pd.testing.assert_frame_equal(
+        _normalize(sdf), _normalize(odf), check_dtype=False, rtol=0, atol=0
+    )
+
+
+def test_every_query_has_oracle_or_is_pipeline():
+    qs = set(entrymod.queries())
+    oracled = set(entrymod.oracle_sql())
+    assert oracled <= qs
+    rows_only = qs - oracled
+    # only the non-SQL-expressible pipeline ops may skip the oracle
+    assert rows_only <= {
+        "extract_spans_pipeline",
+        "extract_doc_metrics",
+        "media_features_stub",
+    }
+
+
+def test_entry_flagship(spark):
+    df = entrymod.entry(spark)
+    assert df.columns == ["doc_id", "offset", "kind", "text", "media_ref"]
+    n = df.count()
+    assert n > 1000
