@@ -1,0 +1,217 @@
+"""Benchmark driver: headline queries at $SPARK_GRAFT_SF_DIR plus the
+two-cluster-size scaling evidence required by BASELINE.json.
+
+Prints exactly ONE JSON line on stdout:
+  {"metric": "bench_total_wall", "value": <sum of query secs>, "unit":
+   "sec", "queries": {...}, "sf": ..., "extraction": {...}}
+
+The ``extraction`` block carries the north-rule evidence: the same
+extraction job, same input, at local[N] and local[4N] (sandbox substitute
+for N vs 4N executors), with throughput at both and
+efficiency = thr(4N) / (4 * thr(N)).  Each level runs in its own
+subprocess (a JVM's master can't change after start); per level we run one
+warmup + ``RUNS`` measured repetitions and take the median (the box has
+noisy background load).  Results also land in BENCH/BASELINE.md.
+
+Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32), TEI_BENCH_DOCS (default 300000),
+TEI_BENCH_SKIP_SCALING=1 to skip the two-level extraction runs.
+"""
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("TEI_BENCH_DOCS", "300000"))
+RUNS = int(os.environ.get("TEI_BENCH_RUNS", "2"))
+CORPUS = f"/tmp/tei_bench_corpus_{BENCH_DOCS}"
+
+HEADLINE = [
+    "extract_spans_pipeline",
+    "doc_stats",
+    "doc_fingerprint",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "ann_bruteforce_topk",
+    "events_sessionize",
+    "pricing_summary",
+    "revenue_by_nation",
+]
+
+
+def scaling_child(master: str, corpus: str, runs: int) -> None:
+    """Child process: run the extraction job ``runs``+1 times, report JSON."""
+    from tei_chunker_spark.config import ChunkerConfig, JobConfig
+    from tei_chunker_spark.operators.extract import extract_pipeline
+    from tei_chunker_spark.sources.session import get_spark
+
+    cpus = int(master.split("[")[1].rstrip("]"))
+    spark = get_spark("bench-scaling", master=master,
+                      shuffle_partitions=cpus * 8, max_partition_bytes="16m")
+    df = spark.read.parquet(corpus)
+    job = JobConfig(
+        chunker=ChunkerConfig(20000, 200), shuffle_partitions=cpus * 8
+    )
+    walls, spans = [], 0
+    for _ in range(runs + 1):
+        t0 = time.time()
+        spans = extract_pipeline(df, job).count()
+        walls.append(time.time() - t0)
+    docs = df.count()
+    print(json.dumps({"walls": walls[1:], "docs": docs, "spans": spans}))
+
+
+def ensure_corpus(spark) -> None:
+    if os.path.isdir(CORPUS) and any(
+        f.endswith(".parquet") for f in os.listdir(CORPUS)
+    ):
+        return
+    from tei_chunker_spark.corpus import write_corpus
+
+    write_corpus(spark, CORPUS, BENCH_DOCS)
+
+
+def single_proc_anchor() -> float:
+    """Reference-semantics single-process throughput (docs/sec)."""
+    from tei_chunker_spark.config import ChunkerConfig
+    from tei_chunker_spark.core import chunk_tei
+    from tei_chunker_spark.corpus import synth_tei
+
+    cfg = ChunkerConfig(20000, 200)
+    docs = [synth_tei(f"doc-{i:012d}") for i in range(2000)]
+    t0 = time.time()
+    for d in docs:
+        chunk_tei(d, cfg)
+    return 2000 / (time.time() - t0)
+
+
+def _run_child(cpus: int, runs: int) -> dict:
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__),
+         "--scaling-child", f"local[{cpus}]", CORPUS, str(runs)],
+        capture_output=True, text=True, cwd=REPO,
+        env={**os.environ, "PYTHONPATH": REPO},
+    )
+    last = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+    if not last:
+        print(proc.stdout[-2000:], file=sys.stderr)
+        print(proc.stderr[-2000:], file=sys.stderr)
+        raise RuntimeError(f"scaling child local[{cpus}] failed")
+    return json.loads(last[-1])
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from tei_chunker_spark.sources.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=CPUS, max_partition_bytes="16m")
+    ensure_corpus(spark)
+
+    # --- headline queries at SF_DIR -------------------------------------
+    queries = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = queries[name](spark, SF_DIR)
+        df.count()  # warm (plans, broadcast, python workers)
+        t0 = time.time()
+        df.count()
+        timings[name] = round(time.time() - t0, 3)
+    spark.stop()  # free all cores before the scaling measurement
+
+    # --- two-cluster-size scaling ----------------------------------------
+    extraction = {}
+    if os.environ.get("TEI_BENCH_SKIP_SCALING") != "1":
+        lo, hi = max(2, CPUS // 4), CPUS
+        # Interleave N / 4N children so slow drift in background load hits
+        # both levels equally; each child does its own in-JVM warmup run.
+        results = {lo: {"walls": []}, hi: {"walls": []}}
+        for _ in range(RUNS):
+            for cpus in (lo, hi):
+                r = _run_child(cpus, 1)
+                results[cpus]["walls"].extend(r["walls"])
+                results[cpus]["docs"] = r["docs"]
+                results[cpus]["spans"] = r["spans"]
+        thr = {
+            c: results[c]["docs"] / statistics.median(results[c]["walls"])
+            for c in results
+        }
+        extraction = {
+            "corpus_docs": results[hi]["docs"],
+            "output_spans": results[hi]["spans"],
+            f"docs_per_sec_local{lo}": round(thr[lo], 1),
+            f"docs_per_sec_local{hi}": round(thr[hi], 1),
+            f"spans_per_sec_local{hi}": round(
+                thr[hi] * results[hi]["spans"] / results[hi]["docs"], 1
+            ),
+            "walls_lo": [round(w, 2) for w in results[lo]["walls"]],
+            "walls_hi": [round(w, 2) for w in results[hi]["walls"]],
+            "scaling_efficiency": round(thr[hi] / ((hi / lo) * thr[lo]), 3),
+            "anchor_single_proc_docs_per_sec": round(single_proc_anchor(), 1),
+        }
+        write_baseline_md(extraction, timings, lo, hi)
+
+    out = {
+        "metric": "bench_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(SF_DIR.rstrip("/").split("sf")[-1]),
+        "extraction": extraction,
+    }
+    print(json.dumps(out))
+
+
+def write_baseline_md(extraction: dict, timings: dict, lo: int, hi: int) -> None:
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    lines = [
+        "# BENCH baseline — measured numbers",
+        "",
+        f"Extraction job (service config max=20000/overlap=200), corpus of "
+        f"{extraction['corpus_docs']} deterministic synthetic TEI docs "
+        f"(seeded, 1% oversized skew tail, 1% malformed), "
+        f"{extraction['output_spans']} output spans.",
+        "",
+        "| config | throughput (docs/sec) | walls (s) |",
+        "|---|---|---|",
+        f"| local[{lo}] (N) | {extraction[f'docs_per_sec_local{lo}']} | {extraction['walls_lo']} |",
+        f"| local[{hi}] (4N) | {extraction[f'docs_per_sec_local{hi}']} | {extraction['walls_hi']} |",
+        "",
+        f"**Scaling efficiency (N -> 4N): {extraction['scaling_efficiency']}** "
+        f"(target >= 0.8; efficiency = thr(4N) / (4 x thr(N))). Sandbox "
+        f"substitute for the two-cluster-size rule: same job + identical "
+        f"input at two local parallelism levels.",
+        "",
+        f"Spans/sec at local[{hi}]: {extraction[f'spans_per_sec_local{hi}']}.",
+        "",
+        f"Reference-semantics single-process anchor: "
+        f"{extraction['anchor_single_proc_docs_per_sec']} docs/sec "
+        f"(pure-Python core, one process — the per-core floor).",
+        "",
+        "## Headline query timings (sf0.1, warm, local[32])",
+        "",
+        "| query | sec |",
+        "|---|---|",
+    ]
+    lines += [f"| {k} | {v} |" for k, v in timings.items()]
+    lines.append("")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--scaling-child":
+        scaling_child(sys.argv[2], sys.argv[3], int(sys.argv[4]))
+    else:
+        main()

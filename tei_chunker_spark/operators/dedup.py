@@ -47,27 +47,43 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
     )
 
 
+def _tokens_materialized(documents: DataFrame) -> DataFrame:
+    """(doc_id, tok: array<string>) with the split FORCED to happen once.
+
+    ``explode(array(split(...)))`` is a generator, and projection collapsing
+    cannot inline expressions through a generator boundary — without it,
+    Catalyst substitutes the ``split`` subtree into every ``element_at``
+    reference and interpreted higher-order functions re-split the text per
+    element (measured: a 5k-row band join took 38 s because each probe
+    re-evaluated ~200 splits; with this barrier the same join is <1 s)."""
+    return documents.select(
+        "doc_id", F.explode(F.array(tokens(F.col("text")))).alias("tok")
+    )
+
+
 def shingle_table(documents: DataFrame, n: int = 2) -> DataFrame:
     """(doc_id, shingle) distinct word-n-gram postings."""
-    return documents.select(
+    return _tokens_materialized(documents).select(
         "doc_id",
-        F.explode(F.array_distinct(word_ngrams(tokens(F.col("text")), n))).alias(
-            "shingle"
-        ),
+        F.explode(F.array_distinct(word_ngrams(F.col("tok"), n))).alias("shingle"),
     )
 
 
 def minhash_signatures(documents: DataFrame, n: int = 2) -> DataFrame:
     """k=4 MinHash signature: per seed, the lexicographic min of
-    md5(seed || shingle) over the doc's word-n-gram set."""
-    grams = word_ngrams(tokens(F.col("text")), n)
-    cols = [
-        F.array_min(F.transform(grams, lambda g: F.md5(F.concat(F.lit(seed), g)))).alias(
-            f"mh{i}"
-        )
+    md5(seed || shingle) over the doc's word-n-gram set.
+
+    Computed as a hash aggregate over the posting table (map-side partial
+    min -> one narrow row per doc), which also materializes the signature:
+    downstream band joins touch plain columns, never the shingle
+    expression tree.  Docs with zero shingles drop out here — they can't
+    produce candidates anyway (the expression-version would carry NULLs
+    into the band join, where they'd be dropped by the equi-join)."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(seed), F.col("shingle")))).alias(f"mh{i}")
         for i, seed in enumerate(MINHASH_SEEDS)
     ]
-    return documents.select("doc_id", *cols)
+    return shingle_table(documents, n).groupBy("doc_id").agg(*aggs)
 
 
 def jaccard_pairs(
@@ -91,18 +107,40 @@ def jaccard_pairs(
         )
         shingles = shingles.join(keep, "shingle")
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
-    a = shingles.alias("a")
-    b = shingles.alias("b")
-    inter = (
-        a.join(b, on=(F.col("a.shingle") == F.col("b.shingle")))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
-        )
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
     if candidates is not None:
-        inter = inter.join(candidates, ["a_id", "b_id"], "left_semi")
+        # Verify-only-candidates: route the posting join THROUGH the pair
+        # list instead of exploding all co-occurring docs — |pairs| x
+        # |shingles-per-doc| instead of sum(df^2).  This is what makes LSH
+        # verification linear-ish at corpus scale.
+        a = shingles.select(F.col("doc_id").alias("a_id"), "shingle")
+        b = shingles.select(F.col("doc_id").alias("b_id"), "shingle")
+        inter = (
+            candidates.join(a, "a_id")
+            .join(b, ["b_id", "shingle"])
+            .groupBy("a_id", "b_id")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        # All-pairs mode: postings with document frequency 1 can never
+        # produce a pair — drop them from the JOIN side only (sizes above
+        # already counted them, so Jaccard is unchanged).
+        paired = (
+            shingles.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") >= 2)
+            .select("shingle")
+        )
+        joinable = shingles.join(paired, "shingle")
+        a = joinable.alias("a")
+        b = joinable.alias("b")
+        inter = (
+            a.join(b, on=(F.col("a.shingle") == F.col("b.shingle")))
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .groupBy(
+                F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+            )
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     sa = sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("set_size", "a_size")
     sb = sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("set_size", "b_size")
     return (

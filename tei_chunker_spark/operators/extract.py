@@ -29,29 +29,72 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..config import ChunkerConfig, JobConfig
-from ..core import extract_spans
+from ..core import chunk_tei
 
 SPAN_SCHEMA_DDL = "doc_id string, offset int, kind string, text string, media_ref string"
 
 
+def reassembled(df: DataFrame) -> DataFrame:
+    """JVM-side document reassembly: spans array -> (doc_id, xml, media).
+
+    Converting ``array<struct>`` through Arrow into Python dicts costs more
+    than the extraction itself (measured ~4x the chunker's own CPU), so the
+    span plumbing stays in WholeStageCodegen: sort by offset, concatenate
+    the text spans into one XML string, project the media refs into a plain
+    string array.  Python then receives two flat columns — the fast Arrow
+    path.  Media passthrough order (input offset order) is preserved by the
+    same sort, matching core.extract_spans (FIXTURES.md §1.2)."""
+    ordered = F.array_sort(
+        F.col("spans"),
+        lambda l, r: F.when(l["offset"] < r["offset"], -1)
+        .when(l["offset"] > r["offset"], 1)
+        .otherwise(0),
+    )
+    text_of = lambda s: s["text"]  # noqa: E731
+    return df.select(
+        "doc_id",
+        F.concat_ws(
+            "",
+            F.transform(
+                F.filter(ordered, lambda s: (s["kind"] == "text") & s["text"].isNotNull()),
+                text_of,
+            ),
+        ).alias("xml"),
+        F.transform(
+            F.filter(ordered, lambda s: s["kind"] == "media"), lambda s: s["media_ref"]
+        ).alias("media"),
+    )
+
+
 def make_batch_extractor(cfg: ChunkerConfig):
-    """Arrow-batch extraction fn for ``mapInPandas`` (1 doc row -> N span rows)."""
+    """Arrow-batch extraction fn for ``mapInPandas`` (1 doc row -> N span rows).
+
+    Input batches carry (doc_id, xml, media) from :func:`reassembled`; the
+    whole-document fold (reference chunking.py:185-265) runs per row, text
+    chunks first, then media passthrough spans — identical observable
+    output to core.extract_spans (pinned by tests/test_pipeline.py)."""
 
     def extract_batches(batches: Iterable) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
             doc_ids, offsets, kinds, texts, refs = [], [], [], [], []
-            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
-                span_tuples = [
-                    (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans
-                ]
-                for sp in extract_spans(doc_id, span_tuples, cfg):
-                    doc_ids.append(sp.doc_id)
-                    offsets.append(sp.offset)
-                    kinds.append(sp.kind)
-                    texts.append(sp.text)
-                    refs.append(sp.media_ref)
+            for doc_id, xml, media in zip(pdf["doc_id"], pdf["xml"], pdf["media"]):
+                offset = 0
+                for chunk in chunk_tei(xml, cfg):
+                    doc_ids.append(doc_id)
+                    offsets.append(offset)
+                    kinds.append("text")
+                    texts.append(chunk)
+                    refs.append(None)
+                    offset += 1
+                for ref in media:
+                    doc_ids.append(doc_id)
+                    offsets.append(offset)
+                    kinds.append("media_ref")
+                    texts.append(None)
+                    refs.append(ref)
+                    offset += 1
             yield pd.DataFrame(
                 {
                     "doc_id": doc_ids,
@@ -77,10 +120,16 @@ def extract_pipeline(df: DataFrame, job: JobConfig) -> DataFrame:
     order is undefined (it's a distributed table — verification sorts).
     """
     p = job.shuffle_partitions
+    # Salt + shuffle FIRST, reassemble AFTER: the concat/sort codegen then
+    # runs in the p-way wide stage instead of the scan stage, whose task
+    # count is bounded by input splits (a handful of parquet files must not
+    # cap CPU parallelism).  The scan stage does nothing but read + shuffle.
     salted = (
         df.select("doc_id", "spans")
         .withColumn("_salt", salt_column(p))
         .repartition(p, "_salt")
         .drop("_salt")
     )
-    return salted.mapInPandas(make_batch_extractor(job.chunker), SPAN_SCHEMA_DDL)
+    return reassembled(salted).mapInPandas(
+        make_batch_extractor(job.chunker), SPAN_SCHEMA_DDL
+    )

@@ -21,6 +21,7 @@ def get_spark(
     master: Optional[str] = None,
     shuffle_partitions: Optional[int] = None,
     arrow_batch: int = 64,
+    max_partition_bytes: str = "32m",
 ) -> SparkSession:
     builder = SparkSession.builder.appName(app_name)
     if master is None and "SPARK_MASTER" not in os.environ and not os.environ.get("SPARK_SUBMIT"):
@@ -37,6 +38,17 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
         .config("spark.python.worker.reuse", "true")
+        # Documents are fat rows: smaller splits keep the scan stage's task
+        # count >= cores even for modest file counts (at 100 TB the default
+        # 128m is fine — tune per corpus, outputs never change).
+        .config("spark.sql.files.maxPartitionBytes", max_partition_bytes)
+        # Fat string rows make the default 4096-row parquet column vectors
+        # humongous allocations under G1's default region size, triggering
+        # GCLocker starvation that serializes the scan stage at high core
+        # counts (measured: 32-core wall 17-62s -> 11-13s with these two).
+        .config("spark.sql.parquet.columnarReaderBatchSize", "512")
+        .config("spark.driver.extraJavaOptions", "-XX:G1HeapRegionSize=32m")
+        .config("spark.executor.extraJavaOptions", "-XX:G1HeapRegionSize=32m")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -1,0 +1,87 @@
+"""Structured Streaming surface.
+
+The north rule is a batch `spark-submit` job with manifest-based resume
+(SURVEY.md §3.4) — streaming is an *alternative* integration, not the
+primary path.  Two real uses:
+
+* :func:`extract_stream` — the same one-shuffle extraction pipeline under
+  ``Trigger.AvailableNow``: the file-source checkpoint gives exactly-once,
+  per-micro-batch resumability for free (kill it mid-corpus, restart,
+  no dupes/no gaps — the streaming analogue of the manifest).  On a real
+  deployment the source is an Iceberg streaming read.
+* :func:`events_hourly_stream` — watermarked tumbling-window aggregation
+  (late data handled by the watermark) demonstrating the stateful-ops
+  surface over the events table.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..config import JobConfig
+from ..corpus import INPUT_SCHEMA_DDL
+from ..operators.extract import extract_pipeline
+
+
+def extract_stream(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    job: JobConfig,
+    max_files_per_trigger: int = 8,
+) -> StreamingQuery:
+    """Run the extraction pipeline as an AvailableNow stream over a parquet
+    directory; returns the started query (await with ``awaitTermination``)."""
+    src = (
+        spark.readStream.schema(INPUT_SCHEMA_DDL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+    )
+    spans = extract_pipeline(src, job)
+    return (
+        spans.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def events_hourly_stream(
+    spark: SparkSession,
+    events_path: str,
+    checkpoint_path: str,
+    output_path: str,
+    watermark: str = "2 hours",
+) -> StreamingQuery:
+    """Watermarked tumbling 1-hour aggregation over a stream of events.
+
+    ``events_path`` must be a DIRECTORY (FileStreamSource requirement —
+    pointing it at a single parquet file fails with "Option 'basePath'
+    must be a directory")."""
+    src = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .parquet(events_path)
+    )
+    agg = (
+        src.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("hour"), "event_type", "n_events", "sum_value"
+        )
+    )
+    return (
+        agg.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

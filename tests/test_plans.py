@@ -1,0 +1,72 @@
+"""Physical-plan guardrails: shuffle counts, broadcasts, column pruning.
+A correct-but-mis-planned operator is a regression at 100 TB even when
+row-level results are right — these tests pin the plan shapes.
+"""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tei_chunker_spark.config import ChunkerConfig, JobConfig
+from tei_chunker_spark.corpus import INPUT_SCHEMA_DDL, make_rows
+from tei_chunker_spark.operators.extract import extract_pipeline
+from tei_chunker_spark.operators.relational import resume_anti_join, revenue_by_nation
+from tei_chunker_spark.plans.explain import (
+    count_broadcasts,
+    count_exchanges,
+    executed_plan,
+    scan_read_schemas,
+)
+
+JOB = JobConfig(chunker=ChunkerConfig(500, 50), shuffle_partitions=8)
+
+
+@pytest.fixture(scope="module")
+def corpus_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plans") / "input")
+    rows = make_rows([f"pl{i}" for i in range(30)])
+    # extra column proves pruning below
+    df = spark.createDataFrame(rows, INPUT_SCHEMA_DDL).withColumn(
+        "unused_wide_col", F.lit("x" * 10)
+    )
+    df.write.parquet(path)
+    return path
+
+
+def test_extract_pipeline_single_shuffle_and_pruned_scan(spark, corpus_path):
+    df = spark.read.parquet(corpus_path)
+    spans = extract_pipeline(df, JOB)
+    assert count_exchanges(spans) == 1  # exactly the salt repartition
+    assert "MapInPandas" in executed_plan(spans)
+    schemas = scan_read_schemas(spans)
+    assert schemas, "no scan found"
+    # column pruning reached the parquet scan: the unused column is gone
+    assert all("unused_wide_col" not in s for s in schemas)
+    assert all("doc_id" in s for s in schemas)
+
+
+def test_anti_join_is_broadcast(spark):
+    docs = spark.createDataFrame(
+        [(i, "en", 10) for i in range(50)], "doc_id long, lang string, n_chars long"
+    )
+    out = resume_anti_join(docs)
+    plan = executed_plan(out)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_dim_join_is_broadcast(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("tpch")
+    import os
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip("no testdata")
+    from tei_chunker_spark.sources.tables import load
+
+    out = revenue_by_nation(
+        load(spark, sf, "customer"),
+        load(spark, sf, "orders"),
+        load(spark, sf, "lineitem"),
+        load(spark, sf, "nation"),
+    )
+    assert count_broadcasts(out) >= 1
