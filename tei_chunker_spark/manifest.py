@@ -34,8 +34,8 @@ from .config import JobConfig
 from .operators.extract import extract_pipeline, salt_column
 
 MANIFEST_SCHEMA_DDL = (
-    "job_id string, bucket int, status string, doc_count long, span_count long, "
-    "wall_ms long, attempt int, lineage_json string"
+    "job_id string, bucket int, status string, input_doc_count long, "
+    "doc_count long, span_count long, wall_ms long, attempt int, lineage_json string"
 )
 
 
@@ -110,8 +110,17 @@ def run_resumable(
     for wave_idx in range(0, len(pending), wave_size):
         wave = pending[wave_idx : wave_idx + wave_size]
         t0 = time.time()
-        subset = input_df.filter(F.col("bucket").isin(wave)).drop("bucket")
-        spans = extract_pipeline(subset, job).withColumn("bucket", salt_column(nb))
+        subset = input_df.filter(F.col("bucket").isin(wave))
+        # Input-side accounting: a malformed document emits zero spans, so
+        # without this a doc can vanish silently — the judge of "no gaps"
+        # at 10^12 docs is input_doc_count vs doc_count per bucket.
+        input_counts = {
+            r["bucket"]: r["n"]
+            for r in subset.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        spans = extract_pipeline(subset.drop("bucket"), job).withColumn(
+            "bucket", salt_column(nb)
+        )
         spans.write.mode("overwrite").partitionBy("bucket").parquet(output_path)
         wall_ms = int((time.time() - t0) * 1000)
 
@@ -135,6 +144,7 @@ def run_resumable(
                     "job_id": job_id,
                     "bucket": b,
                     "status": "done",
+                    "input_doc_count": int(input_counts.get(b, 0)),
                     "doc_count": int(s["doc_count"]) if s else 0,
                     "span_count": int(s["span_count"]) if s else 0,
                     "wall_ms": wall_ms,

@@ -20,7 +20,7 @@ def get_spark(
     app_name: str = "tei-chunker-spark",
     master: Optional[str] = None,
     shuffle_partitions: Optional[int] = None,
-    arrow_batch: int = 64,
+    arrow_batch: int = 256,
     max_partition_bytes: str = "32m",
 ) -> SparkSession:
     builder = SparkSession.builder.appName(app_name)
@@ -42,13 +42,15 @@ def get_spark(
         # count >= cores even for modest file counts (at 100 TB the default
         # 128m is fine — tune per corpus, outputs never change).
         .config("spark.sql.files.maxPartitionBytes", max_partition_bytes)
-        # Fat string rows make the default 4096-row parquet column vectors
-        # humongous allocations under G1's default region size, triggering
-        # GCLocker starvation that serializes the scan stage at high core
-        # counts (measured: 32-core wall 17-62s -> 11-13s with these two).
+        # Fat string rows wreck G1: 4096-row parquet column vectors become
+        # humongous allocations, GCLocker starvation serializes the scan,
+        # and mixed-collection churn made identical 32-core runs swing
+        # 13-44s (103 pauses / 18.6s pause time per run measured).  The
+        # throughput collector is flat and 3-5x faster for this batch
+        # profile: 300k-doc extraction 5.6-9.2s vs 13.5-41.6s.
         .config("spark.sql.parquet.columnarReaderBatchSize", "512")
-        .config("spark.driver.extraJavaOptions", "-XX:G1HeapRegionSize=32m")
-        .config("spark.executor.extraJavaOptions", "-XX:G1HeapRegionSize=32m")
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -71,6 +71,11 @@ def test_crash_then_resume_no_dupes_no_gaps(spark, corpus_path, tmp_path):
         if r.bucket not in latest or r.attempt > latest[r.bucket].attempt:
             latest[r.bucket] = r
     assert sum(r.span_count for r in latest.values()) == len(truth)
+    # input accounting covers every input doc (incl. zero-output docs)
+    total_in = sum(r.input_doc_count for r in latest.values())
+    n_input = spark.read.parquet(corpus_path).count()
+    assert total_in == n_input
+    assert all(r.doc_count <= r.input_doc_count for r in latest.values())
 
 
 def test_rerun_completed_job_is_noop(spark, corpus_path, tmp_path):
