@@ -176,6 +176,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_embedding"] = lambda spark, sf: dedup.embedding_dup_pairs(
         load(spark, sf, "embeddings"), threshold=0.3
     )
+    q["dedup_components"] = lambda spark, sf: dedup.connected_components(
+        dedup.minhash_lsh_pairs(_docs_with_near_dups(spark, sf), n=2, threshold=0.5)
+    )
 
     # -- similarity search
     q["ann_bruteforce_topk"] = lambda spark, sf: _cast_long(
@@ -206,6 +209,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         relational.top_docs_per_group(load(spark, sf, "documents")), ["rnk"]
     )
     q["events_hourly"] = lambda spark, sf: relational.events_hourly(load(spark, sf, "events"))
+    q["events_quantiles"] = lambda spark, sf: relational.events_quantiles(
+        load(spark, sf, "events")
+    )
+    q["events_asof_enrich"] = lambda spark, sf: _asof_enrich(spark, sf)
+    q["revenue_filter_agg"] = lambda spark, sf: relational.revenue_filter_agg(
+        load(spark, sf, "lineitem")
+    )
+    q["top_orders_by_revenue"] = lambda spark, sf: relational.top_orders_by_revenue(
+        load(spark, sf, "customer"),
+        load(spark, sf, "orders"),
+        load(spark, sf, "lineitem"),
+    )
     q["events_sessionize"] = lambda spark, sf: relational.events_sessionize(
         load(spark, sf, "events")
     )
@@ -219,6 +234,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load(spark, sf, "nation"),
     )
     return q
+
+
+def _asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each event enriched with the PREVIOUS completed hour's average value
+    for its type — the canonical as-of join (latest right row at-or-before
+    the event's timestamp)."""
+    from tei_chunker_spark.operators.asof import asof_join
+
+    events = load(spark, sf_dir, "events")
+    hourly = (
+        events.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+        )
+        .agg(F.avg("value").alias("prev_hour_avg"))
+        .withColumn("hour_end", F.col("hour") + F.expr("INTERVAL 1 HOUR"))
+    )
+    joined = asof_join(
+        events.select("event_id", "ts", "event_type"),
+        hourly.select("event_type", "hour_end", "prev_hour_avg"),
+        key="event_type",
+        left_ts="ts",
+        right_ts="hour_end",
+        payload_cols=["prev_hour_avg"],
+    )
+    return joined.select(
+        "event_id", "event_type", F.round("prev_hour_avg", 6).alias("prev_hour_avg")
+    )
 
 
 def _cast_long(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -307,8 +349,7 @@ from docs_aug group by md5(text)
     grams = (
         f"[t[i] || ' ' || t[i+1] for i in generate_series(1, greatest(len(t) - 1, 0))]"
     )
-    o["dedup_minhash_lsh"] = f"""
-with docs_aug as ({_NEAR_AUG_SQL}),
+    minhash_ctes = f"""docs_aug as ({_NEAR_AUG_SQL}),
 tok as (select doc_id, {_TOKENS} as t from docs_aug),
 grams as (select doc_id, list_distinct({grams}) as g from tok),
 sig as (
@@ -341,9 +382,31 @@ scored as (
     join cand c on i.a_id = c.a_id and i.b_id = c.b_id
     join sizes sa on i.a_id = sa.doc_id
     join sizes sb on i.b_id = sb.doc_id
+)"""
+    o["dedup_minhash_lsh"] = (
+        "with "
+        + minhash_ctes
+        + "\nselect a_id, b_id, jaccard from scored where jaccard >= 0.5\n"
+    )
+
+    o["dedup_components"] = (
+        "with recursive "
+        + minhash_ctes
+        + """,
+pairs as (select a_id, b_id from scored where jaccard >= 0.5),
+edges as (
+    select a_id as s, b_id as d from pairs
+    union
+    select b_id, a_id from pairs
+),
+reach(n, r) as (
+    select s, s from (select distinct s from edges) t
+    union
+    select e.d, reach.r from reach join edges e on e.s = reach.n
 )
-select a_id, b_id, jaccard from scored where jaccard >= 0.5
+select n as node, min(r) as comp from reach group by n
 """
+    )
 
     o["dedup_simhash"] = f"""
 with docs_aug as ({_NEAR_AUG_SQL}),
@@ -463,6 +526,52 @@ select user_id, cast(session_seq as bigint) as session_seq,
        count(*) as n_events, min(ts) as session_start, max(ts) as session_end,
        round(sum(value), 6) as session_value
 from g group by user_id, session_seq
+"""
+
+    o["events_quantiles"] = """
+select event_type,
+       round(quantile_cont(value, 0.25), 6) as p25,
+       round(quantile_cont(value, 0.5), 6) as p50,
+       round(quantile_cont(value, 0.9), 6) as p90,
+       count(*) as n
+from events group by event_type
+"""
+
+    o["events_asof_enrich"] = """
+with hourly as (
+    select event_type,
+           date_trunc('hour', ts) + interval 1 hour as hour_end,
+           avg(value) as prev_hour_avg
+    from events group by event_type, date_trunc('hour', ts)
+)
+select e.event_id, e.event_type, round(h.prev_hour_avg, 6) as prev_hour_avg
+from events e
+asof left join hourly h
+  on e.event_type = h.event_type and e.ts >= h.hour_end
+"""
+
+    o["revenue_filter_agg"] = """
+select round(sum(l_extendedprice * l_discount), 2) as revenue,
+       count(*) as n_items
+from lineitem
+where l_shipdate >= timestamp '1997-01-01'
+  and l_shipdate < timestamp '1998-01-01'
+  and l_discount >= 0.03 and l_discount <= 0.07
+  and l_quantity < 24
+"""
+
+    o["top_orders_by_revenue"] = """
+select l_orderkey, o_orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
+from lineitem
+join orders on l_orderkey = o_orderkey
+join customer on o_custkey = c_custkey
+where c_mktsegment = 'BUILDING'
+  and o_orderdate < timestamp '1997-06-01'
+  and l_shipdate > timestamp '1997-06-01'
+group by l_orderkey, o_orderdate
+order by revenue desc, o_orderdate asc, l_orderkey asc
+limit 10
 """
 
     o["pricing_summary"] = """

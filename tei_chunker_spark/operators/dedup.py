@@ -201,6 +201,53 @@ def simhash_pairs(documents: DataFrame) -> DataFrame:
     )
 
 
+def connected_components(
+    pairs: DataFrame, max_iterations: int = 25, checkpoint_every: int = 5
+) -> DataFrame:
+    """Cluster near-duplicate pairs into components: (node, comp) where
+    comp = min node id in the connected component.
+
+    The step after pair-finding in every dedup pipeline — duplicates are
+    transitive, so keep one canonical doc per COMPONENT, not per pair.
+    Iterative min-label propagation (small-star style): each round every
+    node takes the min label among itself and its neighbors; converges in
+    O(component diameter) rounds.  ``localCheckpoint`` every few rounds
+    truncates the lineage so plans stay bounded (the standard Spark
+    iterative-algorithm discipline).  Deterministic output.
+    """
+    edges = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    edges = edges.localCheckpoint(eager=True)
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "comp", F.col("node")
+    )
+    for i in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("comp").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))
+                ).alias("comp"),
+                (F.col("nmin") < F.col("comp")).alias("_changed"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("_changed")).limit(1).count()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            break
+    return labels
+
+
 def embedding_dup_pairs(
     embeddings: DataFrame, threshold: float = 0.95, bucket_col: str = "label"
 ) -> DataFrame:

@@ -122,6 +122,60 @@ def events_sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     )
 
 
+def events_quantiles(events: DataFrame) -> DataFrame:
+    """Exact interpolated percentiles per event type (sort-based agg)."""
+    return events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def revenue_filter_agg(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q6 shape: tight scan-filter-aggregate (predicate pushdown)."""
+    return lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def top_orders_by_revenue(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame, k: int = 10
+) -> DataFrame:
+    """TPC-H Q3 shape: selective join -> aggregate -> deterministic top-k."""
+    cutoff = F.lit("1997-06-01").cast("timestamp")
+    return (
+        lineitem.filter(F.col("l_shipdate") > cutoff)
+        .join(
+            orders.filter(F.col("o_orderdate") < cutoff).select(
+                "o_orderkey", "o_custkey", "o_orderdate"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc())
+        .limit(k)
+    )
+
+
 def resume_anti_join(documents: DataFrame) -> DataFrame:
     """Anti-join demo mirroring the manifest resume path: drop documents
     whose id is in the (broadcast) completed set."""

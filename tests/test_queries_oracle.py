@@ -31,8 +31,13 @@ FAST_ORACLED = [
     "top_docs_per_lang",
     "events_hourly",
     "events_sessionize",
+    "events_quantiles",
+    "events_asof_enrich",
     "pricing_summary",
     "revenue_by_nation",
+    "revenue_filter_agg",
+    "top_orders_by_revenue",
+    "dedup_components",
 ]
 
 
