@@ -227,6 +227,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pricing_summary"] = lambda spark, sf: relational.pricing_summary(
         load(spark, sf, "lineitem")
     )
+    q["events_range_join"] = lambda spark, sf: relational.events_range_join(
+        load(spark, sf, "events")
+    )
+    q["user_event_paths"] = lambda spark, sf: relational.user_event_paths(
+        load(spark, sf, "events")
+    )
+    q["supplier_census"] = lambda spark, sf: relational.supplier_census(
+        load(spark, sf, "supplier"), load(spark, sf, "nation"), load(spark, sf, "region")
+    )
+    q["part_type_stats"] = lambda spark, sf: relational.part_type_stats(
+        load(spark, sf, "part")
+    )
     q["revenue_by_nation"] = lambda spark, sf: relational.revenue_by_nation(
         load(spark, sf, "customer"),
         load(spark, sf, "orders"),
@@ -586,6 +598,52 @@ from lineitem
 where l_shipdate <= timestamp '1998-09-02'
 group by l_returnflag, l_linestatus
 order by l_returnflag, l_linestatus
+"""
+
+    o["events_range_join"] = """
+with b as (
+    select floor(epoch(min(ts)))::bigint as lo,
+           floor((floor(epoch(max(ts)))::bigint - floor(epoch(min(ts)))::bigint) / 24)::bigint + 1 as width
+    from events
+),
+w as (
+    select unnest(generate_series(0, 23)) as w, lo, width from b
+),
+windows as (
+    select w,
+           to_timestamp(lo + w * width)::timestamp as w_start,
+           to_timestamp(lo + (w + 1) * width)::timestamp as w_end
+    from w
+)
+select w, count(*) as n_events, round(sum(value), 6) as sum_value
+from events join windows on ts >= w_start and ts < w_end
+group by w
+"""
+
+    o["user_event_paths"] = """
+select user_id,
+       string_agg(event_type, ',' order by ts, event_id) as event_path,
+       count(*) as n_events
+from events
+where user_id < 500
+group by user_id
+"""
+
+    o["supplier_census"] = """
+select r_name, n_name, count(*) as n_suppliers,
+       round(sum(s_acctbal), 2) as total_acctbal
+from supplier
+join nation on s_nationkey = n_nationkey
+join region on n_regionkey = r_regionkey
+group by rollup(r_name, n_name)
+"""
+
+    o["part_type_stats"] = """
+select p_type, count(*) as n_parts,
+       count(distinct p_brand) as n_brands,
+       round(avg(p_retailprice), 4) as avg_price,
+       cast(sum(case when p_size >= 25 then 1 else 0 end) as bigint) as n_large
+from part group by p_type
 """
 
     o["revenue_by_nation"] = """

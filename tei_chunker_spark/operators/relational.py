@@ -176,6 +176,85 @@ def top_orders_by_revenue(
     )
 
 
+def events_range_join(events: DataFrame, n_windows: int = 24) -> DataFrame:
+    """Range join: count events falling inside derived half-open time
+    windows (interval table broadcast; the non-equi condition stays a
+    BroadcastNestedLoop on a tiny build side — the only sane plan for
+    interval joins without an interval index)."""
+    bounds = events.agg(
+        F.unix_timestamp(F.min("ts")).alias("lo"),
+        F.unix_timestamp(F.max("ts")).alias("hi"),
+    ).select(
+        "lo",
+        (F.floor((F.col("hi") - F.col("lo")) / n_windows) + 1).alias("width"),
+    )
+    windows = bounds.select(
+        F.explode(F.sequence(F.lit(0), F.lit(n_windows - 1))).alias("w"),
+        "lo",
+        "width",
+    ).select(
+        "w",
+        F.timestamp_seconds(F.col("lo") + F.col("w") * F.col("width")).alias("w_start"),
+        F.timestamp_seconds(
+            F.col("lo") + (F.col("w") + 1) * F.col("width")
+        ).alias("w_end"),
+    )
+    return (
+        events.join(
+            F.broadcast(windows),
+            (F.col("ts") >= F.col("w_start")) & (F.col("ts") < F.col("w_end")),
+        )
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+
+
+def user_event_paths(events: DataFrame, max_users: int = 500) -> DataFrame:
+    """Ordered re-nest: per user, the comma-joined sequence of event types
+    in (ts, event_id) order — collect_list + array_sort, the same idiom the
+    pipeline uses to re-nest spans into per-document arrays."""
+    seq = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", F.col("event_type").alias("et")))
+        ),
+        lambda s: s["et"],
+    )
+    return (
+        events.filter(F.col("user_id") < max_users)
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(",", seq).alias("event_path"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def supplier_census(supplier: DataFrame, nation: DataFrame, region: DataFrame) -> DataFrame:
+    """Two broadcast dims + rollup over the region/nation hierarchy."""
+    return (
+        supplier.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+def part_type_stats(part: DataFrame) -> DataFrame:
+    """Distinct aggregation + conditional aggregation over part."""
+    return part.groupBy("p_type").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.countDistinct("p_brand").alias("n_brands"),
+        F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        F.sum(F.when(F.col("p_size") >= 25, 1).otherwise(0)).alias("n_large"),
+    )
+
+
 def resume_anti_join(documents: DataFrame) -> DataFrame:
     """Anti-join demo mirroring the manifest resume path: drop documents
     whose id is in the (broadcast) completed set."""

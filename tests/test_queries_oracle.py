@@ -38,6 +38,10 @@ FAST_ORACLED = [
     "revenue_filter_agg",
     "top_orders_by_revenue",
     "dedup_components",
+    "events_range_join",
+    "user_event_paths",
+    "supplier_census",
+    "part_type_stats",
 ]
 
 
