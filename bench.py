@@ -198,7 +198,32 @@ def main() -> None:
 
 
 def write_baseline_md(extraction: dict, timings: dict, lo: int, hi: int) -> None:
+    """Record the run.  If BENCH/BASELINE.md already exists (it carries the
+    curated methodology + hardware-ceiling analysis), append one row to its
+    run-history table instead of clobbering it."""
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    if os.path.exists(path):
+        with open(path) as fh:
+            content = fh.read()
+        marker = "## Run history"
+        if marker not in content:
+            content += (
+                f"\n{marker}\n\n"
+                "| docs | thr(N) | thr(4N) | pair efficiencies | median eff | peak docs/s | canaries (1-proc docs/s) |\n"
+                "|---|---|---|---|---|---|---|\n"
+            )
+        content += (
+            f"| {extraction['corpus_docs']} "
+            f"| {extraction['docs_per_sec_lo']} "
+            f"| {extraction['docs_per_sec_hi']} "
+            f"| {extraction['pair_efficiencies']} "
+            f"| {extraction['scaling_efficiency']} "
+            f"| {extraction['docs_per_sec_peak']} "
+            f"| {extraction['canary_docs_per_sec']} |\n"
+        )
+        with open(path, "w") as fh:
+            fh.write(content)
+        return
     lines = [
         "# BENCH baseline — measured numbers",
         "",

@@ -108,8 +108,15 @@ def _walk_divs(element: ET.Element, depth: int = 1) -> List[SectionNode]:
     tag never hits the formula branch, so it renders bare (no ``$$``).
     """
     out: List[SectionNode] = []
-    for div in element.findall("./" + _TEI + "div"):
-        head = div.find("./" + _TEI + "head")
+    div_tag = _TEI + "div"
+    head_tag = _TEI + "head"
+    # Direct child-tag scans instead of findall("./tei:div")/find("./tei:head"):
+    # identical match semantics (namespaced direct children, document order)
+    # without ElementPath's per-call selector machinery (~20% of parse time).
+    for div in element:
+        if div.tag != div_tag:
+            continue
+        head = next((c for c in div if c.tag == head_tag), None)
         # Raw head.text (unstripped; text before the first child element
         # only) — chunking.py:154.
         title = head.text if (head is not None and head.text) else "Untitled Section"
@@ -143,12 +150,16 @@ def parse_tei(xml_text: str) -> List[SectionNode]:
     except ET.ParseError:
         return []
     nodes: List[SectionNode] = []
-    abstract = root.find(".//" + _TEI + "abstract")
+    # ".//tag" means first matching DESCENDANT in document order (the root
+    # itself excluded) — root.iter includes the root, so skip it explicitly.
+    abstract = next(
+        (e for e in root.iter(_TEI + "abstract") if e is not root), None
+    )
     if abstract is not None:
         abstract_text = flatten_text(abstract)
         if abstract_text:
             nodes.append(SectionNode("Abstract", abstract_text, 1, ()))
-    body = root.find(".//" + _TEI + "body")
+    body = next((e for e in root.iter(_TEI + "body") if e is not root), None)
     if body is not None:
         nodes.extend(_walk_divs(body))
     return nodes

@@ -104,6 +104,24 @@ def test_pipeline_invariant_under_partitioning(spark, partitions):
     assert base == other
 
 
+def test_salting_distribution(spark):
+    """The salt spreads documents near-uniformly across buckets so no
+    partition inherits a disproportionate share (the skew defense)."""
+    from tei_chunker_spark.operators.extract import salt_column
+
+    rows = make_rows([f"s{i}" for i in range(400)])
+    df = _input_df(spark, rows)
+    counts = [
+        r.n
+        for r in df.select(salt_column(16).alias("b"))
+        .groupBy("b")
+        .agg(__import__("pyspark").sql.functions.count("*").alias("n"))
+        .collect()
+    ]
+    assert len(counts) == 16  # every bucket hit
+    assert max(counts) < 3 * min(counts)  # no gross imbalance at n=400
+
+
 def test_physical_plan_shape(spark):
     """One shuffle, one Python stage, pruned scan: the 100 TB plan."""
     from pyspark.sql import functions as F
