@@ -24,6 +24,11 @@ class ChunkerConfig:
     max_chunk_size: int = DEFAULT_MAX_CHUNK_SIZE
     overlap_size: int = DEFAULT_OVERLAP_SIZE
     min_section_size: int = 1000  # dead config, kept for parity (chunking.py:65)
+    # Guardrail (None = off, golden behavior): documents whose reassembled
+    # XML exceeds this many characters are NOT parsed — they emit zero text
+    # spans (media passthrough unaffected) instead of risking a worker OOM.
+    # The manifest's input_doc_count vs doc_count gap surfaces them.
+    max_doc_chars: int | None = None
 
 
 @dataclass(frozen=True)
@@ -47,3 +52,10 @@ class JobConfig:
     arrow_max_records_per_batch: int = 256
     input_format: str = "parquet"  # "iceberg" on a real cluster
     output_format: str = "parquet"
+    # When the input table is already bucketed by pmod(xxhash64(doc_id), P)
+    # (Iceberg `bucket(P, doc_id)` partitioning — the recommended layout at
+    # 10^12 docs), the salt repartition is a no-op shuffle of ~all input
+    # bytes; set True to elide it and run the Python stage directly on the
+    # aligned scan partitions. Outputs are identical either way (pinned by
+    # tests); this is purely a physical-plan decision.
+    assume_bucketed_input: bool = False

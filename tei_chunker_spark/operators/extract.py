@@ -77,11 +77,13 @@ def make_batch_extractor(cfg: ChunkerConfig):
     def extract_batches(batches: Iterable) -> Iterator:
         import pandas as pd
 
+        cap = cfg.max_doc_chars
         for pdf in batches:
             doc_ids, offsets, kinds, texts, refs = [], [], [], [], []
             for doc_id, xml, media in zip(pdf["doc_id"], pdf["xml"], pdf["media"]):
                 offset = 0
-                for chunk in chunk_tei(xml, cfg):
+                chunks = [] if (cap is not None and len(xml) > cap) else chunk_tei(xml, cfg)
+                for chunk in chunks:
                     doc_ids.append(doc_id)
                     offsets.append(offset)
                     kinds.append("text")
@@ -124,12 +126,18 @@ def extract_pipeline(df: DataFrame, job: JobConfig) -> DataFrame:
     # runs in the p-way wide stage instead of the scan stage, whose task
     # count is bounded by input splits (a handful of parquet files must not
     # cap CPU parallelism).  The scan stage does nothing but read + shuffle.
-    salted = (
-        df.select("doc_id", "spans")
-        .withColumn("_salt", salt_column(p))
-        .repartition(p, "_salt")
-        .drop("_salt")
-    )
+    # If the table is already bucketed on the salt key (Iceberg
+    # bucket(P, doc_id) layout), skip the shuffle entirely — at 100 TB the
+    # repartition would otherwise move every input byte once for nothing.
+    if job.assume_bucketed_input:
+        salted = df.select("doc_id", "spans")
+    else:
+        salted = (
+            df.select("doc_id", "spans")
+            .withColumn("_salt", salt_column(p))
+            .repartition(p, "_salt")
+            .drop("_salt")
+        )
     return reassembled(salted).mapInPandas(
         make_batch_extractor(job.chunker), SPAN_SCHEMA_DDL
     )

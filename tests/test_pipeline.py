@@ -104,6 +104,45 @@ def test_pipeline_invariant_under_partitioning(spark, partitions):
     assert base == other
 
 
+def test_oversized_doc_guardrail(spark):
+    """max_doc_chars skips parsing (zero text spans) but keeps media and
+    leaves small docs untouched."""
+    rows = make_rows([f"g{i}" for i in range(30)])
+    base = _collect_by_doc(extract_pipeline(_input_df(spark, rows), JOB))
+    xml_len = {
+        r["doc_id"]: sum(len(s["text"] or "") for s in r["spans"]) for r in rows
+    }
+    cap = sorted(xml_len.values())[len(xml_len) // 2]  # median -> half capped
+    capped_job = JobConfig(
+        chunker=ChunkerConfig(max_chunk_size=500, overlap_size=50, max_doc_chars=cap),
+        shuffle_partitions=8,
+    )
+    capped = _collect_by_doc(extract_pipeline(_input_df(spark, rows), capped_job))
+    for row in rows:
+        d = row["doc_id"]
+        if xml_len[d] <= cap:
+            assert capped.get(d, []) == base.get(d, [])
+        else:
+            assert all(k == "media_ref" for k, _t, _m in capped.get(d, []))
+
+
+def test_bucketed_input_elides_shuffle_same_output(spark):
+    """assume_bucketed_input drops the Exchange; rows are identical."""
+    from tei_chunker_spark.plans.explain import count_exchanges
+
+    rows = make_rows([f"bk{i}" for i in range(40)])
+    df = _input_df(spark, rows)
+    bucketed_job = JobConfig(
+        chunker=JOB.chunker, shuffle_partitions=8, assume_bucketed_input=True
+    )
+    with_shuffle = extract_pipeline(df, JOB)
+    without = extract_pipeline(df.repartition(4), bucketed_job)
+    assert count_exchanges(with_shuffle) == 1
+    # repartition(4) itself is one exchange; the pipeline adds none
+    assert count_exchanges(without) == 1
+    assert _collect_by_doc(with_shuffle) == _collect_by_doc(without)
+
+
 def test_salting_distribution(spark):
     """The salt spreads documents near-uniformly across buckets so no
     partition inherits a disproportionate share (the skew defense)."""

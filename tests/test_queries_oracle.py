@@ -22,7 +22,11 @@ FAST_ORACLED = [
     "doc_stats",
     "doc_quality",
     "doc_langid",
+    "doc_fingerprint",
     "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
     "dedup_embedding",
     "ann_bruteforce_topk",
     "ann_ivf_topk",

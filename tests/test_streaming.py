@@ -27,6 +27,34 @@ def _spans(df):
     }
 
 
+def test_events_watermarked_hourly_stream(spark, tmp_path):
+    import shutil
+
+    src = tmp_path / "events"
+    src.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src / "part-0.parquet")
+    from tei_chunker_spark.streaming.stream import events_hourly_stream
+
+    out = str(tmp_path / "out")
+    q = events_hourly_stream(spark, str(src), str(tmp_path / "ck"), out)
+    assert q.awaitTermination(300)
+    got = spark.read.parquet(out)
+    assert got.columns == ["hour", "event_type", "n_events", "sum_value"]
+    assert got.count() > 0
+    # windowed counts agree with a batch aggregation for emitted windows
+    from pyspark.sql import functions as F
+
+    batch_hours = {
+        (r.hour, r.event_type): r.n
+        for r in spark.read.parquet(str(src / "part-0.parquet"))
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in got.collect():
+        assert batch_hours[(r.hour, r.event_type)] == r.n_events
+
+
 def test_available_now_stream_equals_batch(spark, corpus_path, tmp_path):
     out = str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt")
