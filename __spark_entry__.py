@@ -305,14 +305,21 @@ with t as (
     select doc_id,
            case when length(trim(text)) = 0 then 0 else len({_TOKENS}) end as n_tok,
            len(list_distinct({_TOKENS})) as n_distinct,
-           length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text) as alpha
+           length(text) as n_chars,
+           length(regexp_replace(text, '[^A-Za-z]', '', 'g')) as n_alpha
     from documents
+),
+g as (
+    select doc_id, n_tok,
+           case when n_tok > 0 and n_chars > 0 then n_distinct / cast(n_tok as double) end as distinct_ratio,
+           case when n_tok > 0 and n_chars > 0 then n_alpha / cast(n_chars as double) end as alpha_ratio
+    from t
 )
 select doc_id,
-       round(0.3 * least(1.0, n_tok / 100.0) + 0.3 * (n_distinct / cast(n_tok as double)) + 0.4 * alpha, 6) as quality,
-       round(n_distinct / cast(n_tok as double), 6) as distinct_ratio,
-       round(alpha, 6) as alpha_ratio
-from t
+       round(0.3 * least(1.0, n_tok / 100.0) + 0.3 * distinct_ratio + 0.4 * alpha_ratio, 6) as quality,
+       round(distinct_ratio, 6) as distinct_ratio,
+       round(alpha_ratio, 6) as alpha_ratio
+from g
 """
 
     en = "['the','a','of','and','to','in','is','it','that','for']"

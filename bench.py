@@ -121,13 +121,26 @@ def main() -> None:
     ensure_corpus(spark)
 
     # --- headline queries at SF_DIR -------------------------------------
+    from pyspark.sql import functions as F
+
+    def force(df):
+        """Full evaluation of every output column (count() would let
+        Catalyst prune projection-only work away): row-hash + mod-sum
+        (mod keeps the ANSI-mode sum from overflowing long)."""
+        cols = [F.col(c) for c in df.columns]
+        return (
+            df.select((F.xxhash64(*cols) % 1_000_000_007).alias("h"))
+            .agg(F.sum("h"))
+            .collect()
+        )
+
     queries = entrymod.queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         df = queries[name](spark, SF_DIR)
-        df.count()  # warm (plans, broadcast, python workers)
+        force(df)  # warm (plans, broadcast, python workers)
         t0 = time.time()
-        df.count()
+        force(df)
         timings[name] = round(time.time() - t0, 3)
     spark.stop()  # free all cores before the scaling measurement
 

@@ -21,18 +21,7 @@ from tei_chunker_spark.sources.tables import TABLES  # noqa: E402
 SF_DIR = "/root/testdata/sf0.01"
 
 
-def normalize(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].astype(str)
-        elif str(df[c].dtype).startswith("datetime"):
-            df[c] = df[c].astype("datetime64[us]").astype(str)
-        elif df[c].dtype.kind == "f":
-            df[c] = df[c].round(9)
-        elif df[c].dtype.kind in "iu":
-            df[c] = df[c].astype("int64")
-    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+from tei_chunker_spark.testing import normalize_for_compare as normalize
 
 
 def main() -> None:

@@ -69,29 +69,6 @@ def char_shingles(col: Column, k: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-# --- hashing ---------------------------------------------------------------
-
-
-def hex_nibble(c: Column) -> Column:
-    """Value 0-15 of one lowercase hex char.
-
-    DuckDB oracle uses ``strpos('0123456789abcdef', c) - 1`` (same value);
-    Spark side uses base conversion because ``instr``'s needle must be a
-    Python literal."""
-    return F.conv(c, 16, 10).cast("int")
-
-
-def md5_prefix_val(col: Column, chars: int) -> Column:
-    """First ``chars`` hex chars of md5 as an integer (big-endian nibbles).
-
-    DuckDB equivalent composes the same strpos arithmetic."""
-    h = F.md5(col)
-    out = F.lit(0)
-    for j in range(1, chars + 1):
-        out = out * 16 + hex_nibble(F.substring(h, j, 1))
-    return out
-
-
 # --- vectors ---------------------------------------------------------------
 
 

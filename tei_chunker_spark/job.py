@@ -53,9 +53,13 @@ def main(argv=None) -> None:
     ap.add_argument("--explain", action="store_true")
     args = ap.parse_args(argv)
 
-    spark = get_spark("tei-extract", master=args.master,
-                      shuffle_partitions=args.shuffle_partitions)
     job = build_job_config(args)
+    spark = get_spark(
+        "tei-extract",
+        master=args.master,
+        shuffle_partitions=args.shuffle_partitions,
+        arrow_batch=job.arrow_max_records_per_batch,
+    )
 
     if args.no_manifest or not args.manifest:
         df = spark.read.format(job.input_format).load(args.input)

@@ -104,7 +104,13 @@ def run_resumable(
     if not pending:
         return
 
-    input_df = spark.read.parquet(input_path).withColumn("bucket", bucket_column(nb))
+    spark.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch",
+        str(job.arrow_max_records_per_batch),
+    )
+    input_df = spark.read.format(job.input_format).load(input_path).withColumn(
+        "bucket", bucket_column(nb)
+    )
     attempt = int(time.time() * 1000) % (1 << 30)
 
     for wave_idx in range(0, len(pending), wave_size):
@@ -121,12 +127,16 @@ def run_resumable(
         spans = extract_pipeline(subset.drop("bucket"), job).withColumn(
             "bucket", salt_column(nb)
         )
-        spans.write.mode("overwrite").partitionBy("bucket").parquet(output_path)
+        spans.write.mode("overwrite").partitionBy("bucket").format(
+            job.output_format
+        ).save(output_path)
         wall_ms = int((time.time() - t0) * 1000)
 
         # Metrics from the committed files (no re-extraction): narrow
         # columnar scan of just-written buckets.
-        written = spark.read.parquet(output_path).filter(F.col("bucket").isin(wave))
+        written = spark.read.format(job.output_format).load(output_path).filter(
+            F.col("bucket").isin(wave)
+        )
         stats = {
             r["bucket"]: r
             for r in written.groupBy("bucket")

@@ -202,7 +202,7 @@ def simhash_pairs(documents: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    pairs: DataFrame, max_iterations: int = 25, checkpoint_every: int = 5
+    pairs: DataFrame, max_iterations: int = 50, checkpoint_every: int = 5
 ) -> DataFrame:
     """Cluster near-duplicate pairs into components: (node, comp) where
     comp = min node id in the connected component.
@@ -244,8 +244,14 @@ def connected_components(
         changed = new_labels.filter(F.col("_changed")).limit(1).count()
         labels = new_labels.drop("_changed")
         if changed == 0:
-            break
-    return labels
+            return labels
+    # Silent non-convergence would split one duplicate cluster into several
+    # "canonical" docs — fail loudly instead (raise, don't approximate).
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} rounds "
+        "(component diameter exceeds the iteration budget); raise "
+        "max_iterations"
+    )
 
 
 def embedding_dup_pairs(

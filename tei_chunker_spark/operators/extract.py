@@ -51,6 +51,7 @@ def reassembled(df: DataFrame) -> DataFrame:
         .otherwise(0),
     )
     text_of = lambda s: s["text"]  # noqa: E731
+    empty = F.array().cast("array<string>")
     return df.select(
         "doc_id",
         F.concat_ws(
@@ -60,8 +61,14 @@ def reassembled(df: DataFrame) -> DataFrame:
                 text_of,
             ),
         ).alias("xml"),
-        F.transform(
-            F.filter(ordered, lambda s: s["kind"] == "media"), lambda s: s["media_ref"]
+        # coalesce: a NULL spans array must degrade like malformed XML does
+        # (zero output spans), not crash the Python stage iterating media.
+        F.coalesce(
+            F.transform(
+                F.filter(ordered, lambda s: s["kind"] == "media"),
+                lambda s: s["media_ref"],
+            ),
+            empty,
         ).alias("media"),
     )
 

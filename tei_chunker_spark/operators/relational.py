@@ -101,9 +101,14 @@ def events_sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     ``gap_seconds``.  One shuffle on user_id."""
     order = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev_ts = F.lag(F.col("ts")).over(order)
+    # Integer microsecond arithmetic keeps sub-second precision (DuckDB
+    # epoch() parity); unix_timestamp would truncate to whole seconds and
+    # mis-bucket sub-second gaps.  NTZ timestamps are cast via TIMESTAMP
+    # (session tz is UTC) because NTZ has no direct numeric cast.
+    micros = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
     new_session = F.when(
         prev_ts.isNull()
-        | ((F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)) > gap_seconds),
+        | ((micros(F.col("ts")) - micros(prev_ts)) > gap_seconds * 1_000_000),
         1,
     ).otherwise(0)
     with_ids = events.withColumn(

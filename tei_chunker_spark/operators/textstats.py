@@ -47,26 +47,33 @@ def doc_stats(documents: DataFrame) -> DataFrame:
     )
 
 
-def doc_quality(documents: DataFrame, min_score: float = 0.0) -> DataFrame:
+def doc_quality(documents: DataFrame, min_score: float | None = None) -> DataFrame:
     """Composite quality score in [0,1]: length saturation, lexical
     diversity, alphabetic density — the standard cheap pre-filter trio for
-    training-data pipelines."""
+    training-data pipelines.
+
+    Degenerate documents (zero tokens / zero length) get NULL scores and
+    are KEPT unless ``min_score`` is set — dropping rows silently is the
+    job of an explicit filter, never of a scoring operator."""
     text = F.col("text")
     tok = tokens(text)
     n_tok = token_count(text).cast("double")
-    distinct_ratio = F.size(F.array_distinct(tok)) / n_tok
-    alpha_ratio = F.length(F.regexp_replace(text, r"[^A-Za-z]", "")) / F.length(text)
+    guarded = lambda c: F.when((n_tok > 0) & (F.length(text) > 0), c)  # noqa: E731
+    distinct_ratio = guarded(F.size(F.array_distinct(tok)) / n_tok)
+    alpha_ratio = guarded(
+        F.length(F.regexp_replace(text, r"[^A-Za-z]", "")) / F.length(text)
+    )
     length_sat = F.least(F.lit(1.0), n_tok / F.lit(100.0))
     score = F.round(0.3 * length_sat + 0.3 * distinct_ratio + 0.4 * alpha_ratio, 6)
-    return (
-        documents.select(
-            "doc_id",
-            score.alias("quality"),
-            F.round(distinct_ratio, 6).alias("distinct_ratio"),
-            F.round(alpha_ratio, 6).alias("alpha_ratio"),
-        )
-        .filter(F.col("quality") >= min_score)
+    out = documents.select(
+        "doc_id",
+        score.alias("quality"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
     )
+    if min_score is not None:
+        out = out.filter(F.col("quality") >= min_score)
+    return out
 
 
 def doc_langid(documents: DataFrame) -> DataFrame:

@@ -24,7 +24,15 @@ def get_spark(
     max_partition_bytes: str = "32m",
 ) -> SparkSession:
     builder = SparkSession.builder.appName(app_name)
-    if master is None and "SPARK_MASTER" not in os.environ and not os.environ.get("SPARK_SUBMIT"):
+    # Default to local[...] ONLY when this interpreter was launched
+    # standalone: under spark-submit / an existing driver the JVM gateway
+    # is already up (PYSPARK_GATEWAY_PORT set) and carries the submitted
+    # master — overriding it would silently pull a cluster job onto the
+    # driver node.
+    launched_by_spark = "PYSPARK_GATEWAY_PORT" in os.environ or os.environ.get(
+        "SPARK_SUBMIT"
+    )
+    if master is None and "SPARK_MASTER" not in os.environ and not launched_by_spark:
         master = f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
     if master:
         builder = builder.master(master)

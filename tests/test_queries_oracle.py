@@ -57,18 +57,7 @@ def duck():
     return con
 
 
-def _normalize(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].astype(str)
-        elif str(df[c].dtype).startswith("datetime"):
-            df[c] = df[c].astype("datetime64[us]").astype(str)
-        elif df[c].dtype.kind == "f":
-            df[c] = df[c].round(9)
-        elif df[c].dtype.kind in "iu":
-            df[c] = df[c].astype("int64")
-    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+from tei_chunker_spark.testing import normalize_for_compare as _normalize
 
 
 @pytest.mark.parametrize("name", FAST_ORACLED)
