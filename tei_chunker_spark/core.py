@@ -8,7 +8,7 @@ tei-chunker @ 2025-03-02); every branch below cites the reference line it
 must agree with.  It is a re-derivation, not a port: sections are immutable
 tuples, the pack loop is an explicit-stack preorder walk, and there is no
 service/class surface — but outputs are bit-equal (see
-tests/test_reference_parity.py and tests/test_golden_fixtures.py).
+tests/test_reference_parity.py and tests/test_core_golden.py).
 
 Semantic traps intentionally reproduced (verified against the reference):
 
@@ -38,6 +38,9 @@ from typing import List, NamedTuple, Optional, Sequence, Tuple
 from .config import ChunkerConfig
 
 _TEI = "{http://www.tei-c.org/ns/1.0}"
+_TEI_LEN = len(_TEI)
+_FORMULA_TAG = _TEI + "formula"
+_REF_TAG = _TEI + "ref"
 
 
 class SectionNode(NamedTuple):
@@ -81,20 +84,35 @@ def flatten_text(element: Optional[ET.Element]) -> str:
     if element is None:
         return ""
     pieces: List[str] = []
-    if element.text and element.text.strip():
-        pieces.append(element.text.strip())
+    append = pieces.append
+    t = element.text
+    if t:
+        t = t.strip()
+        if t:
+            append(t)
     for child in element:
-        tag = _local_tag(child.tag)
+        # Inlined _local_tag with a TEI-prefix fast path (this loop is the
+        # hottest line of the parse; the semantics are unchanged).
+        tag = child.tag
+        if tag.startswith(_TEI):
+            tag = tag[_TEI_LEN:]
+        elif "}" in tag:
+            tag = tag.rsplit("}", 1)[1]
         if tag == "formula":
-            pieces.append("$$%s$$" % (child.text.strip() if child.text else ""))
+            ct = child.text
+            append("$$%s$$" % (ct.strip() if ct else ""))
         elif tag == "ref":
-            pieces.append("[%s]" % (child.text.strip() if child.text else ""))
+            ct = child.text
+            append("[%s]" % (ct.strip() if ct else ""))
         else:
             inner = flatten_text(child)
             if inner:
-                pieces.append(inner)
-        if child.tail and child.tail.strip():
-            pieces.append(child.tail.strip())
+                append(inner)
+        t = child.tail
+        if t:
+            t = t.strip()
+            if t:
+                append(t)
     return " ".join(pieces)
 
 
@@ -122,7 +140,13 @@ def _walk_divs(element: ET.Element, depth: int = 1) -> List[SectionNode]:
         title = head.text if (head is not None and head.text) else "Untitled Section"
         paragraphs: List[str] = []
         for child in div:
-            if _local_tag(child.tag) in ("p", "formula"):
+            # Inlined _local_tag (TEI-prefix fast path; semantics unchanged).
+            tag = child.tag
+            if tag.startswith(_TEI):
+                tag = tag[_TEI_LEN:]
+            elif "}" in tag:
+                tag = tag.rsplit("}", 1)[1]
+            if tag == "p" or tag == "formula":
                 text = flatten_text(child)
                 if text:
                     paragraphs.append(text)
@@ -178,6 +202,35 @@ def render_markdown(node: SectionNode) -> str:
     return "\n\n".join(blocks)
 
 
+def _render_memo(nodes: Sequence[SectionNode]) -> dict:
+    """id(node) -> render_markdown(node) for every node, built bottom-up.
+
+    The pack loop renders EVERY node it visits, and render_markdown walks
+    the node's whole subtree — O(size x depth) string bytes when called per
+    node.  Building renders post-order instead reuses each child's finished
+    string ("\\n\\n".join of header + child renders is byte-identical to the
+    preorder block join), cutting the copies to O(total rendered bytes).
+    Keyed by id(): nodes are immutable tuples live for the dict's lifetime.
+    """
+    memo: dict = {}
+    stack = [(n, False) for n in nodes]
+    while stack:
+        node, expanded = stack.pop()
+        children = node.children
+        if expanded or not children:
+            head = "%s %s\n\n%s" % ("#" * node.depth, node.title, node.body)
+            if children:
+                memo[id(node)] = "\n\n".join(
+                    [head] + [memo[id(c)] for c in children]
+                )
+            else:
+                memo[id(node)] = head
+        else:
+            stack.append((node, True))
+            stack.extend((c, False) for c in children)
+    return memo
+
+
 def pack_chunks(
     nodes: Sequence[SectionNode], max_chunk_size: int, overlap_size: int
 ) -> List[str]:
@@ -201,10 +254,11 @@ def pack_chunks(
     acc: List[str] = []
     acc_size = 0
 
+    rendered_of = _render_memo(nodes)
     stack: List[SectionNode] = list(reversed(nodes))
     while stack:
         node = stack.pop()
-        rendered = render_markdown(node)
+        rendered = rendered_of[id(node)]
         size = len(rendered)
 
         if size > max_chunk_size:  # strict >, chunking.py:209
@@ -212,10 +266,10 @@ def pack_chunks(
                 chunks.append("\n\n".join(acc))
                 acc = []
                 acc_size = 0
-            words = rendered.split()
             buf: List[str] = []
+            buf_append = buf.append
             buf_size = 0
-            for word in words:
+            for word in rendered.split():
                 step = len(word) + 1  # +1 for the joining space
                 if buf_size + step > max_chunk_size:
                     # A first word that alone exceeds max while buf is empty
@@ -225,10 +279,12 @@ def pack_chunks(
                     # exceeds max_chunk_size.
                     if buf:
                         chunks.append(" ".join(buf))
-                        buf = buf[carry_from:] + [word]
-                        buf_size = sum(len(w) + 1 for w in buf)
+                        buf = buf[carry_from:]
+                        buf.append(word)
+                        buf_append = buf.append
+                        buf_size = len(buf) + sum(map(len, buf))
                 else:
-                    buf.append(word)
+                    buf_append(word)
                     buf_size += step
             if buf:
                 chunks.append(" ".join(buf))
