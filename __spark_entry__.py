@@ -25,9 +25,23 @@ from pyspark.sql import functions as F
 
 from tei_chunker_spark.config import ChunkerConfig, JobConfig
 from tei_chunker_spark.corpus import INPUT_SCHEMA_DDL, doc_to_row
-from tei_chunker_spark.operators import dedup, multimodal, relational, similarity, textstats
-from tei_chunker_spark.operators.extract import extract_pipeline
+from tei_chunker_spark.operators import (
+    dedup,
+    kmeans,
+    multimodal,
+    relational,
+    similarity,
+    textstats,
+)
+from tei_chunker_spark.operators.extract import extract_pipeline, section_metadata_pipeline
 from tei_chunker_spark.sources.tables import load
+
+# Golden fixtures: the interleaved corpus is a pure function of doc_id, so
+# the extraction family's expected output is precomputed with the pure-
+# Python core (scripts/make_golden_fixtures.py) and the DuckDB oracle
+# simply reads it back, restricted to the current SF's doc_id set.
+_FIXTURES = "/root/repo/tests/fixtures"
+_DOCS_JOIN = "join documents d on g.doc_id = cast(d.doc_id as varchar)"
 
 # ---------------------------------------------------------------------------
 # flagship pipeline helpers
@@ -58,7 +72,11 @@ def _interleaved_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     ids = load(spark, sf_dir, "documents").select("doc_id")
-    return ids.repartition(16).mapInPandas(gen, INPUT_SCHEMA_DDL)
+    # Generation parallelism follows the session's core count instead of a
+    # fixed constant (a fixed 16 would cap corpus synthesis on big hosts).
+    return ids.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
+        gen, INPUT_SCHEMA_DDL
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -99,6 +117,9 @@ _NEAR_AUG_SQL = (
 )
 
 _TOKENS = "string_split_regex(trim(text), '\\s+')"
+# 64-bit simhash: bit b (0..63) from hex char b//4+1 of each token's md5,
+# bit b%4; set when the +/-1 vote sum is strictly positive.  Same nibble
+# domain as tei_chunker_spark.operators.textstats.simhash64.
 _SIMHASH_SQL_BODY = """
 toks as (
     select doc_id, unnest(list_distinct({tokens})) as token from {src}
@@ -107,12 +128,16 @@ bits as (
     select doc_id, b,
            case when (strpos('0123456789abcdef', substr(md5(token), (b // 4) + 1, 1)) - 1)
                      & (1 << (b % 4)) > 0 then 1 else -1 end as vote
-    from toks, unnest(generate_series(0, 15)) as t(b)
+    from toks, unnest(generate_series(0, 63)) as t(b)
 ),
 per_bit as (select doc_id, b, sum(vote) as s from bits group by doc_id, b),
 simhash_t as (
+    -- DuckDB raises on 1::bigint << 63; bit 63's two's-complement weight
+    -- is min-bigint, spelled without overflowing the positive literal.
     select doc_id,
-           cast(sum(case when s > 0 then (1::bigint << b) else 0 end) as bigint) as simhash
+           cast(sum(case when s <= 0 then 0::bigint
+                         when b = 63 then (-9223372036854775807 - 1)
+                         else (1::bigint << b) end) as bigint) as simhash
     from per_bit group by doc_id
 )
 """
@@ -147,6 +172,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_id", "media_ref")
         )
     )
+    q["extract_sections"] = lambda spark, sf: section_metadata_pipeline(
+        _interleaved_corpus(spark, sf), _FLAGSHIP_JOB
+    )
 
     # -- text analysis
     q["doc_stats"] = lambda spark, sf: _cast_long(
@@ -168,6 +196,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs_with_near_dups(spark, sf), n=2, threshold=0.5
     )
     q["dedup_simhash"] = lambda spark, sf: dedup.simhash_pairs(_docs_with_near_dups(spark, sf))
+    q["dedup_simhash_banded"] = lambda spark, sf: dedup.simhash_banded_pairs(
+        _docs_with_near_dups(spark, sf), max_hamming=3
+    )
     q["dedup_ngram_jaccard"] = lambda spark, sf: dedup.jaccard_pairs(
         dedup.shingle_table(_docs_with_near_dups(spark, sf), n=2),
         threshold=0.5,
@@ -194,6 +225,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load(spark, sf, "embeddings"),
             load(spark, sf, "embeddings").filter(F.col("vec_id") < 5),
             k=10,
+        ),
+        ["rank"],
+    )
+    q["ann_ivf_trained"] = lambda spark, sf: _cast_long(
+        kmeans.ann_ivf_trained_topk(
+            load(spark, sf, "embeddings"),
+            load(spark, sf, "embeddings").filter(F.col("vec_id") < 5),
+            k=10,
+            n_cells=8,
+            iters=2,
         ),
         ["rank"],
     )
@@ -288,6 +329,36 @@ def _cast_long(df: DataFrame, cols: list[str]) -> DataFrame:
 
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
+
+    # -- extraction family: golden-fixture oracles (see _FIXTURES note).
+    o["extract_spans_pipeline"] = f"""
+select g.doc_id, g.offset, g.kind, g.text, g.media_ref
+from read_parquet('{_FIXTURES}/golden_spans.parquet') g
+{_DOCS_JOIN}
+"""
+
+    o["extract_doc_metrics"] = f"""
+select g.doc_id,
+       count(*) as n_spans,
+       cast(sum(case when g.kind = 'text' then 1 else 0 end) as bigint) as n_text,
+       cast(sum(case when g.kind = 'media_ref' then 1 else 0 end) as bigint) as n_media
+from read_parquet('{_FIXTURES}/golden_spans.parquet') g
+{_DOCS_JOIN}
+group by g.doc_id
+"""
+
+    o["extract_sections"] = f"""
+select g.doc_id, g.section_idx, g.title, g.level, g.length, g.subsection_count
+from read_parquet('{_FIXTURES}/golden_sections.parquet') g
+{_DOCS_JOIN}
+"""
+
+    o["media_features_stub"] = f"""
+select g.media_ref, g.media_kind, g.byte_len, g.feat_checksum,
+       g.feat_width, g.feat_height
+from read_parquet('{_FIXTURES}/golden_media_features.parquet') g
+{_DOCS_JOIN}
+"""
 
     o["doc_stats"] = f"""
 select doc_id,
@@ -434,6 +505,25 @@ select a.doc_id as a_id, b.doc_id as b_id, a.simhash as simhash
 from simhash_t a join simhash_t b on a.simhash = b.simhash and a.doc_id < b.doc_id
 """
 
+    o["dedup_simhash_banded"] = f"""
+with docs_aug as ({_NEAR_AUG_SQL}),
+{_SIMHASH_SQL_BODY.format(tokens=_TOKENS, src='docs_aug')},
+bands as (
+    select doc_id, simhash, i as band_idx,
+           (simhash >> (16 * i)) & 65535 as band_val
+    from simhash_t, unnest(generate_series(0, 3)) as t(i)
+),
+cand as (
+    select distinct a.doc_id as a_id, b.doc_id as b_id,
+           a.simhash as sim_a, b.simhash as sim_b
+    from bands a join bands b
+      on a.band_idx = b.band_idx and a.band_val = b.band_val
+     and a.doc_id < b.doc_id
+)
+select a_id, b_id, cast(bit_count(xor(sim_a, sim_b)) as int) as hamming
+from cand where bit_count(xor(sim_a, sim_b)) <= 3
+"""
+
     o["dedup_ngram_jaccard"] = f"""
 with docs_aug as ({_NEAR_AUG_SQL}),
 tok as (select doc_id, {_TOKENS} as t from docs_aug),
@@ -500,6 +590,78 @@ ranked as (
 )
 select query_id, neighbor_id, cast(rank as bigint) as rank, cos_sim from ranked where rank <= 10
 """
+
+    # Unrolled 2-iteration Lloyd's k-means in the integer-quantized domain
+    # (same determinism contract as operators/kmeans.py: exact bigint L2^2,
+    # ties to the smallest cell, centroid = element-wise floor division).
+    _dist = "list_sum([(x.qv[i] - c.cv[i]) * (x.qv[i] - c.cv[i]) for i in generate_series(1, len(x.qv))])"
+    _assign = """
+a{n} as (
+    select vec_id, qv, embedding, cell from (
+        select x.vec_id, x.qv, x.embedding, c.cell,
+               row_number() over (
+                   partition by x.vec_id
+                   order by {dist}, c.cell
+               ) as rn
+        from q x cross join c{m} c
+    ) where rn = 1
+),
+s{n} as (
+    select cell, i, sum(qv[i]) as sv, count(*) as n
+    from a{n}, unnest(generate_series(1, len(qv))) as g(i)
+    group by cell, i
+),
+u{n} as (
+    -- explicit floor: DuckDB integer // truncates toward zero, but the
+    -- Spark-side centroid update uses Python floor division.
+    select cell, list(cast(floor(sv / n) as bigint) order by i) as cv
+    from s{n} group by cell
+),
+c{n} as (
+    select c{m}.cell, coalesce(u{n}.cv, c{m}.cv) as cv
+    from c{m} left join u{n} on c{m}.cell = u{n}.cell
+)"""
+    o["ann_ivf_trained"] = (
+        f"""
+with q as (
+    select vec_id, embedding,
+           [cast(round(x::double * 10000) as bigint) for x in embedding] as qv
+    from embeddings
+),
+c0 as (
+    select cast(row_number() over (order by vec_id) - 1 as int) as cell, qv as cv
+    from q order by vec_id limit 8
+),"""
+        + _assign.format(n=1, m=0, dist=_dist)
+        + ","
+        + _assign.format(n=2, m=1, dist=_dist)
+        + f""",
+af as (
+    select vec_id, embedding, cell from (
+        select x.vec_id, x.embedding, c.cell,
+               row_number() over (
+                   partition by x.vec_id
+                   order by {_dist}, c.cell
+               ) as rn
+        from q x cross join c2 c
+    ) where rn = 1
+),
+pairs as (
+    select pq.vec_id as query_id, pc.vec_id as neighbor_id, pq.cell,
+           {cos.format(a='pq', b='pc')} as cos_sim_raw
+    from af pq join af pc on pq.cell = pc.cell and pq.vec_id != pc.vec_id
+    where pq.vec_id < 5
+),
+ranked as (
+    select query_id, neighbor_id, cell,
+           row_number() over (partition by query_id order by cos_sim_raw desc, neighbor_id asc) as rank,
+           round(cos_sim_raw, 6) as cos_sim
+    from pairs
+)
+select query_id, neighbor_id, cell, cast(rank as bigint) as rank, cos_sim
+from ranked where rank <= 10
+"""
+    )
 
     o["resume_anti_join"] = """
 select doc_id, lang, n_chars from documents d

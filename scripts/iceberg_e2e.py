@@ -1,0 +1,100 @@
+"""Iceberg end-to-end exercise: corpus -> Iceberg table (bucket(P, doc_id)
+layout) -> extraction pipeline with ``input_format='iceberg'`` +
+``assume_bucketed_input`` -> Iceberg span sink -> read-back verification.
+
+This is the north-rule storage path (BASELINE.json: "Iceberg table of
+interleaved documents").  The sandbox ships no iceberg-spark-runtime jar,
+so the script probes for the classes first and exits with code 3 when they
+are absent — tests/test_iceberg.py turns that into a pytest skip, and on
+any cluster with the standard runtime jar on the classpath the same script
+runs the real thing:
+
+    spark-submit --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver> \
+        scripts/iceberg_e2e.py /tmp/iceberg_warehouse
+
+Exit codes: 0 = verified, 3 = iceberg classes absent, 1 = failure.
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_DOCS = 400
+BUCKETS = 8
+
+
+def main(warehouse: str) -> int:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.appName("iceberg-e2e")
+        .master("local[4]")
+        .config(
+            "spark.sql.extensions",
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions",
+        )
+        .config("spark.sql.catalog.local", "org.apache.iceberg.spark.SparkCatalog")
+        .config("spark.sql.catalog.local.type", "hadoop")
+        .config("spark.sql.catalog.local.warehouse", warehouse)
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+    except Exception:
+        print("ICEBERG_ABSENT: org.apache.iceberg.spark.SparkCatalog not on classpath")
+        spark.stop()
+        return 3
+
+    from pyspark.sql import functions as F
+
+    from tei_chunker_spark.config import ChunkerConfig, JobConfig
+    from tei_chunker_spark.corpus import corpus_df
+    from tei_chunker_spark.operators.extract import extract_pipeline
+
+    job = JobConfig(
+        chunker=ChunkerConfig(500, 50),
+        shuffle_partitions=BUCKETS,
+        input_format="iceberg",
+        output_format="iceberg",
+        assume_bucketed_input=True,
+    )
+
+    # 1. Write the interleaved corpus as an Iceberg table bucketed on
+    #    doc_id — the 10^12-doc layout that lets the pipeline elide its
+    #    shuffle (config.assume_bucketed_input).
+    docs = corpus_df(spark, N_DOCS)
+    spark.sql("DROP TABLE IF EXISTS local.db.documents")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS local.db")
+    docs.writeTo("local.db.documents").partitionedBy(
+        F.bucket(BUCKETS, F.col("doc_id"))
+    ).create()
+
+    # 2. Scan through the configured input_format (catalog read), extract,
+    #    append to an Iceberg span table.
+    src = spark.read.format(job.input_format).load("local.db.documents")
+    spans = extract_pipeline(src, job)
+    spark.sql("DROP TABLE IF EXISTS local.db.spans")
+    spans.writeTo("local.db.spans").create()
+
+    # 3. Verify against the plain in-memory pipeline on the same corpus.
+    expected = extract_pipeline(
+        corpus_df(spark, N_DOCS), JobConfig(chunker=ChunkerConfig(500, 50), shuffle_partitions=BUCKETS)
+    )
+    got = spark.read.format("iceberg").load("local.db.spans")
+    n_got, n_exp = got.count(), expected.count()
+    diff = got.exceptAll(expected).count() + expected.exceptAll(got).count()
+    print(f"spans: iceberg={n_got} expected={n_exp} symmetric_diff={diff}")
+    spark.stop()
+    if n_got == n_exp and diff == 0:
+        print("ICEBERG_E2E_OK")
+        return 0
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/iceberg_warehouse"))

@@ -321,6 +321,19 @@ def outline(nodes: Sequence[SectionNode], indent: str = "") -> str:
     return "\n".join(lines)
 
 
+def section_meta(xml_text: str) -> List[Tuple[int, str, int, int, int]]:
+    """Top-level section metadata, exactly the reference service's JSON
+    ``sections`` array (reference service.py:37-44): one row per TOP-LEVEL
+    section, ``(section_idx, title, level, length, subsection_count)``
+    where length = len(direct content, subsections excluded) — the
+    reference uses ``section.content``, not ``full_content``.  Malformed
+    XML -> [] (parse_tei swallows the ParseError)."""
+    return [
+        (i, n.title, n.depth, len(n.body), len(n.children))
+        for i, n in enumerate(parse_tei(xml_text))
+    ]
+
+
 def chunk_tei(xml_text: str, cfg: ChunkerConfig) -> List[str]:
     """parse + pack in one call (the reference's service path,
     service.py:29-30)."""

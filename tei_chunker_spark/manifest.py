@@ -95,6 +95,11 @@ def run_resumable(
 ) -> None:
     """Process all pending buckets in waves; idempotent under restart.
 
+    ``output_path`` must be unique per ``job_id``: per-wave metrics re-read
+    the output filtered on bucket only, and dynamic partition overwrite is
+    keyed on bucket only — two jobs sharing one output directory would
+    cross-contaminate metrics and clobber each other's partitions.
+
     ``fail_after_waves`` injects a crash after N waves (tests only).
     """
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -111,7 +116,16 @@ def run_resumable(
     input_df = spark.read.format(job.input_format).load(input_path).withColumn(
         "bucket", bucket_column(nb)
     )
-    attempt = int(time.time() * 1000) % (1 << 30)
+    # Monotonic per-job attempt number (NOT wall-clock derived: an epoch
+    # modulo would wrap and make max_by('status','attempt') resolve a stale
+    # row as latest).
+    m = read_manifest(spark, manifest_path)
+    attempt = 1
+    if m is not None:
+        prev = (
+            m.filter(F.col("job_id") == job_id).agg(F.max("attempt")).collect()[0][0]
+        )
+        attempt = (prev or 0) + 1
 
     for wave_idx in range(0, len(pending), wave_size):
         wave = pending[wave_idx : wave_idx + wave_size]

@@ -33,7 +33,16 @@ def asof_join(
     payload_cols: List[str],
 ) -> DataFrame:
     """Enrich ``left`` with the latest ``right`` payload at-or-before
-    ``left_ts`` per ``key``.  Right rows must be unique per (key, ts)."""
+    ``left_ts`` per ``key``.  Right rows must be unique per (key, ts), and
+    ``payload_cols`` must not collide with any left column name (the
+    output is left columns + payload columns; a collision would produce
+    ambiguous duplicate columns, so it is rejected up front)."""
+    clash = set(payload_cols) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"payload_cols {sorted(clash)} collide with left columns; "
+            "rename or prefix the right-side payload"
+        )
     payload = F.struct(*[F.col(c) for c in payload_cols])
     r = right.select(
         F.col(key).alias("_k"),

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.columns import cosine, tokens, word_ngrams
-from .textstats import simhash16
+from .textstats import simhash64
 
 MINHASH_SEEDS = ("s0/", "s1/", "s2/", "s3/")
 
@@ -186,8 +186,14 @@ def minhash_lsh_pairs(
 
 
 def simhash_pairs(documents: DataFrame) -> DataFrame:
-    """Doc pairs with identical 16-bit simhash (hamming distance 0)."""
-    sig = simhash16(documents)
+    """Doc pairs with identical 64-bit simhash (hamming distance 0).
+
+    A plain key-equality shuffle on the full signature.  With 64-bit keys
+    the bucket domain is 2^64, so (unlike the 16-bit round-1 version,
+    whose 65,536 buckets degenerated toward per-bucket cartesian joins as
+    the corpus grows) group sizes stay proportional to true duplicate
+    clusters at any corpus size."""
+    sig = simhash64(documents)
     a = sig.alias("a")
     b = sig.alias("b")
     return (
@@ -201,56 +207,139 @@ def simhash_pairs(documents: DataFrame) -> DataFrame:
     )
 
 
+def simhash_banded_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate pairs by 64-bit SimHash with hamming distance <=
+    ``max_hamming`` (default 3) — the actual point of simhash: near-misses,
+    not just identical signatures.
+
+    Banding argument (pigeonhole): split the signature into 4 disjoint
+    16-bit bands; any pair differing in <= 3 bits must agree EXACTLY on at
+    least one band, so the union of the four per-band equi-joins contains
+    every qualifying pair.  Physically: one posexplode to a (band_idx,
+    band_val) posting table, ONE shuffle on the compound band key, then an
+    exact bit_count(xor) verify on the candidates.  Requires
+    max_hamming <= 3 (4 bands recall-complete only up to 3 differing bits).
+    """
+    if not 0 <= max_hamming <= 3:
+        raise ValueError("4x16-bit banding is recall-complete only for max_hamming <= 3")
+    sig = simhash64(documents)
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, 3), i -> shiftright(simhash, 16 * i) & 65535)"
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val")),
+        )
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "hamming", F.expr("cast(bit_count(sim_a ^ sim_b) as int)")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+    )
+
+
+def _symmetric(edges: DataFrame) -> DataFrame:
+    """Undirected edge set as both directed rows, deduped, no self-loops."""
+    return (
+        edges.filter(F.col("u") != F.col("v"))
+        .unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v")).filter(
+                F.col("u") != F.col("v")
+            )
+        )
+        .distinct()
+    )
+
+
+def _star(sym: DataFrame, larger: bool) -> DataFrame:
+    """One star operation (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", algorithms 3/4).
+
+    Per node u with neighborhood G(u) and m = min(G(u) + {u}):
+    large-star connects every STRICTLY LARGER neighbor to m,
+    small-star every neighbor <= u; both also connect u itself to m.
+    Input/output are symmetric edge sets."""
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    j = sym.join(mins, "u").select(
+        "u", "v", F.least(F.col("u"), F.col("mn")).alias("m")
+    )
+    cond = (F.col("v") > F.col("u")) if larger else (F.col("v") <= F.col("u"))
+    out = j.filter(cond).select(F.col("v").alias("u"), F.col("m").alias("v"))
+    out = out.unionByName(j.select("u", F.col("m").alias("v")).distinct())
+    return _symmetric(out)
+
+
 def connected_components(
-    pairs: DataFrame, max_iterations: int = 50, checkpoint_every: int = 5
+    pairs: DataFrame, max_iterations: int = 25, checkpoint_every: int = 1
 ) -> DataFrame:
     """Cluster near-duplicate pairs into components: (node, comp) where
     comp = min node id in the connected component.
 
     The step after pair-finding in every dedup pipeline — duplicates are
     transitive, so keep one canonical doc per COMPONENT, not per pair.
-    Iterative min-label propagation (small-star style): each round every
-    node takes the min label among itself and its neighbors; converges in
-    O(component diameter) rounds.  ``localCheckpoint`` every few rounds
-    truncates the lineage so plans stay bounded (the standard Spark
-    iterative-algorithm discipline).  Deterministic output.
+    Alternating large-star/small-star contraction (Kiveris et al.): each
+    round halves long chains toward stars centered at the component
+    minimum, converging in O(log n) rounds — unlike plain min-label
+    propagation, whose round count is the component DIAMETER (a 10^6-long
+    near-dup chain at corpus scale would need 10^6 barriers).
+    ``localCheckpoint`` per round truncates lineage (standard Spark
+    iterative discipline); convergence = the symmetric edge set reaches
+    its fixed point (disjoint min-centered stars).  Deterministic output.
     """
-    edges = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
-    edges = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
-    edges = edges.localCheckpoint(eager=True)
-    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
-        "comp", F.col("node")
+    edges = pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
+    nodes = (
+        edges.select("u")
+        .unionByName(edges.select(F.col("v").alias("u")))
+        .distinct()
+        .select(F.col("u").alias("node"))
     )
+    sym = _symmetric(edges).localCheckpoint(eager=True)
     for i in range(max_iterations):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("comp").alias("nmin"))
+        new_sym = _star(_star(sym, larger=True), larger=False)
+        if (i + 1) % checkpoint_every == 0:
+            new_sym = new_sym.localCheckpoint(eager=True)
+        # Fixed point iff the symmetric sets are equal; both are distinct
+        # sets, so equality == same count AND empty difference.
+        changed = (
+            new_sym.count() != sym.count()
+            or new_sym.subtract(sym).limit(1).count() > 0
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select(
+        sym = new_sym
+        if not changed:
+            mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+            return nodes.join(
+                mins, nodes.node == mins.u, "left"
+            ).select(
                 "node",
                 F.least(
-                    F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))
+                    F.col("node"), F.coalesce(F.col("mn"), F.col("node"))
                 ).alias("comp"),
-                (F.col("nmin") < F.col("comp")).alias("_changed"),
             )
-        )
-        if (i + 1) % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint(eager=True)
-        changed = new_labels.filter(F.col("_changed")).limit(1).count()
-        labels = new_labels.drop("_changed")
-        if changed == 0:
-            return labels
     # Silent non-convergence would split one duplicate cluster into several
     # "canonical" docs — fail loudly instead (raise, don't approximate).
     raise RuntimeError(
-        f"connected_components did not converge in {max_iterations} rounds "
-        "(component diameter exceeds the iteration budget); raise "
-        "max_iterations"
+        f"connected_components did not converge in {max_iterations} rounds; "
+        "raise max_iterations"
     )
 
 

@@ -29,9 +29,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..config import ChunkerConfig, JobConfig
-from ..core import chunk_tei
+from ..core import chunk_tei, section_meta
 
 SPAN_SCHEMA_DDL = "doc_id string, offset int, kind string, text string, media_ref string"
+SECTION_SCHEMA_DDL = (
+    "doc_id string, section_idx int, title string, level int, "
+    "length int, subsection_count int"
+)
 
 
 def reassembled(df: DataFrame) -> DataFrame:
@@ -148,3 +152,51 @@ def extract_pipeline(df: DataFrame, job: JobConfig) -> DataFrame:
     return reassembled(salted).mapInPandas(
         make_batch_extractor(job.chunker), SPAN_SCHEMA_DDL
     )
+
+
+def section_metadata_pipeline(df: DataFrame, job: JobConfig) -> DataFrame:
+    """documents(doc_id, spans) -> per-document top-level section metadata.
+
+    Parity surface for the reference service's JSON ``sections`` response
+    array (reference service.py:37-44): one output row per top-level
+    section — (doc_id, section_idx, title, level, length,
+    subsection_count), length = direct content only.  Same physical shape
+    as extract_pipeline: scan -> one salted exchange -> mapInPandas."""
+    p = job.shuffle_partitions
+    if job.assume_bucketed_input:
+        salted = df.select("doc_id", "spans")
+    else:
+        salted = (
+            df.select("doc_id", "spans")
+            .withColumn("_salt", salt_column(p))
+            .repartition(p, "_salt")
+            .drop("_salt")
+        )
+    cap = job.chunker.max_doc_chars
+
+    def meta_batches(batches: Iterable) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            doc_ids, idxs, titles, levels, lengths, counts = [], [], [], [], [], []
+            for doc_id, xml in zip(pdf["doc_id"], pdf["xml"]):
+                rows = [] if (cap is not None and len(xml) > cap) else section_meta(xml)
+                for i, title, level, length, n_subs in rows:
+                    doc_ids.append(doc_id)
+                    idxs.append(i)
+                    titles.append(title)
+                    levels.append(level)
+                    lengths.append(length)
+                    counts.append(n_subs)
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids,
+                    "section_idx": pd.array(idxs, dtype="int32"),
+                    "title": titles,
+                    "level": pd.array(levels, dtype="int32"),
+                    "length": pd.array(lengths, dtype="int32"),
+                    "subsection_count": pd.array(counts, dtype="int32"),
+                }
+            )
+
+    return reassembled(salted).mapInPandas(meta_batches, SECTION_SCHEMA_DDL)

@@ -61,7 +61,17 @@ def events_hourly_stream(
 
     ``events_path`` must be a DIRECTORY (FileStreamSource requirement —
     pointing it at a single parquet file fails with "Option 'basePath'
-    must be a directory")."""
+    must be a directory").
+
+    Withheld-tail caveat (inherent to append mode + watermark): windows
+    within ``watermark`` of the max observed event time are retained in
+    state, NOT emitted — under a one-shot ``Trigger.AvailableNow``
+    invocation the trailing ~2 hours of windows are therefore absent from
+    the output (they emit on the NEXT run once later data advances the
+    watermark).  That is the correct exactly-once semantics for a resumed
+    stream; for a one-shot batch-over-stream summary use the batch
+    ``relational.events_hourly`` instead, or run with ``outputMode
+    ("complete")`` and no watermark."""
     src = (
         spark.readStream.schema(
             "event_id long, ts timestamp, user_id long, event_type string, "

@@ -59,3 +59,31 @@ def test_connected_components_long_chain_converges(spark):
     comp = {r.node: r.comp for r in connected_components(pairs).collect()}
     assert set(comp.values()) == {100}
     assert len(comp) == 12
+
+
+def test_connected_components_log_rounds(spark):
+    """Alternating large-star/small-star must converge in O(log n) rounds:
+    a 200-node path graph (diameter 199) under a 12-iteration budget —
+    plain min-label propagation would need ~200 rounds and raise."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1000, 1199)], "a_id long, b_id long"
+    )
+    comp = {
+        r.node: r.comp
+        for r in connected_components(pairs, max_iterations=12).collect()
+    }
+    assert set(comp.values()) == {1000}
+    assert len(comp) == 200
+
+
+def test_asof_payload_collision_rejected(spark):
+    left = spark.createDataFrame(
+        [(1, "a", _ts("2024-01-01 10:00:00"))], "id long, k string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("a", _ts("2024-01-01 09:00:00"), 1.0)], "k string, rts timestamp, id double"
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, "k", "ts", "rts", ["id"])

@@ -1,0 +1,36 @@
+"""Iceberg end-to-end test — runs scripts/iceberg_e2e.py in a fresh JVM
+(session extensions/catalogs cannot be added to an already-running
+getOrCreate session) and skips when the iceberg-spark runtime jar is
+absent, which is the documented state of this sandbox.  On a cluster with
+the jar present the same test exercises: corpus -> Iceberg table with
+bucket(P, doc_id) layout -> input_format='iceberg' scan with the bucketed
+shuffle elision -> Iceberg span sink -> exact read-back comparison."""
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_iceberg_end_to_end(tmp_path):
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "iceberg_e2e.py"),
+         str(tmp_path / "warehouse")],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        env={**os.environ, "PYTHONPATH": REPO},
+        timeout=570,
+    )
+    if proc.returncode == 3:
+        pytest.skip(
+            "iceberg-spark-runtime jar absent in this sandbox (the only "
+            "blocker; scripts/iceberg_e2e.py documents the spark-submit "
+            "--packages invocation for a real cluster)"
+        )
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    assert "ICEBERG_E2E_OK" in proc.stdout

@@ -19,6 +19,10 @@ pytestmark = pytest.mark.skipif(
 )
 
 FAST_ORACLED = [
+    "extract_spans_pipeline",
+    "extract_doc_metrics",
+    "extract_sections",
+    "media_features_stub",
     "doc_stats",
     "doc_quality",
     "doc_langid",
@@ -26,6 +30,8 @@ FAST_ORACLED = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_simhash_banded",
+    "ann_ivf_trained",
     "dedup_ngram_jaccard",
     "dedup_embedding",
     "ann_bruteforce_topk",
@@ -71,17 +77,13 @@ def test_query_matches_oracle(spark, duck, name):
     )
 
 
-def test_every_query_has_oracle_or_is_pipeline():
+def test_every_query_has_oracle():
+    """Every queries() entry has a DuckDB oracle — the whole-document-fold
+    queries via the precomputed golden fixtures (scripts/
+    make_golden_fixtures.py), everything else via plain SQL."""
     qs = set(entrymod.queries())
     oracled = set(entrymod.oracle_sql())
-    assert oracled <= qs
-    rows_only = qs - oracled
-    # only the non-SQL-expressible pipeline ops may skip the oracle
-    assert rows_only <= {
-        "extract_spans_pipeline",
-        "extract_doc_metrics",
-        "media_features_stub",
-    }
+    assert oracled == qs
 
 
 def test_entry_flagship(spark):
