@@ -67,20 +67,25 @@ HEADLINE = [
 ]
 
 
-def scaling_child(master: str, corpus: str, runs: int) -> None:
+def scaling_child(master: str, corpus: str, runs: int, parts: int) -> None:
     """Child process: warm up on a small slice (spins Python workers +
     codegen without paying a full run), then run the extraction job
-    ``runs`` times and report JSON."""
+    ``runs`` times and report JSON.
+
+    ``parts``: the scaling pair uses a FIXED partition count at both
+    levels (identical plan); the peak run needs ~8 partitions per core so
+    the 1%-oversized-doc skew tail can't make one straggler partition
+    dominate a cores==partitions layout."""
     from tei_chunker_spark.config import ChunkerConfig, JobConfig
     from tei_chunker_spark.operators.extract import extract_pipeline
     from tei_chunker_spark.sources.session import get_spark
 
     spark = get_spark("bench-scaling", master=master,
-                      shuffle_partitions=SCALING_PARTS,
+                      shuffle_partitions=parts,
                       max_partition_bytes="16m")
     df = spark.read.parquet(corpus)
     job = JobConfig(
-        chunker=ChunkerConfig(20000, 200), shuffle_partitions=SCALING_PARTS
+        chunker=ChunkerConfig(20000, 200), shuffle_partitions=parts
     )
     extract_pipeline(df.limit(5000), job).count()  # warmup
     walls, spans = [], 0
@@ -118,10 +123,11 @@ def single_proc_anchor(n_docs: int = 2000) -> float:
     return n_docs / (time.time() - t0)
 
 
-def _run_child(cpus: int, runs: int) -> dict:
+def _run_child(cpus: int, runs: int, parts: int = None) -> dict:
     proc = subprocess.run(
         [sys.executable, os.path.abspath(__file__),
-         "--scaling-child", f"local[{cpus}]", CORPUS, str(runs)],
+         "--scaling-child", f"local[{cpus}]", CORPUS, str(runs),
+         str(parts if parts is not None else SCALING_PARTS)],
         capture_output=True, text=True, cwd=REPO,
         env={**os.environ, "PYTHONPATH": REPO},
     )
@@ -160,9 +166,12 @@ def main() -> None:
     for name in HEADLINE:
         df = queries[name](spark, SF_DIR)
         force(df)  # warm (plans, broadcast, python workers)
-        t0 = time.time()
-        force(df)
-        timings[name] = round(time.time() - t0, 3)
+        walls = []
+        for _ in range(2):  # best-of-2: contention is one-sided noise
+            t0 = time.time()
+            force(df)
+            walls.append(time.time() - t0)
+        timings[name] = round(min(walls), 3)
     spark.stop()  # free all cores before the scaling measurement
 
     # --- two-cluster-size scaling ----------------------------------------
@@ -211,7 +220,9 @@ def main() -> None:
         )
         official = best_eff
         gated_median = statistics.median(accepted if len(accepted) >= 2 else pair_eff)
-        peak = _run_child(CPUS, 2) if CPUS != hi else results[hi]
+        peak = (
+            _run_child(CPUS, 3, parts=CPUS * 8) if CPUS != hi else results[hi]
+        )
         peak_thr = peak["docs"] / min(peak["walls"])
         extraction = {
             "corpus_docs": results[hi]["docs"],
@@ -233,7 +244,12 @@ def main() -> None:
             "spans_per_sec_peak": round(
                 peak_thr * peak["spans"] / peak["docs"], 1
             ),
-            "anchor_single_proc_docs_per_sec": round(single_proc_anchor(), 1),
+            # Best observed single-process throughput across the whole run
+            # (canaries + a final anchor) — same one-sided-noise estimator
+            # as the official walls.
+            "anchor_single_proc_docs_per_sec": round(
+                max(canaries + [single_proc_anchor()]), 1
+            ),
         }
         write_baseline_md(extraction, timings, lo, hi)
 
@@ -343,6 +359,8 @@ def write_baseline_md(extraction: dict, timings: dict, lo: int, hi: int) -> None
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling-child":
-        scaling_child(sys.argv[2], sys.argv[3], int(sys.argv[4]))
+        scaling_child(
+            sys.argv[2], sys.argv[3], int(sys.argv[4]), int(sys.argv[5])
+        )
     else:
         main()
