@@ -106,6 +106,46 @@ def _docs_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "text").unionByName(dups)
 
 
+def _docs_with_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents with deterministic synthetic PII appended (the raw corpus
+    has none; both engines build the identical augmented text)."""
+    d = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    did.cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(did % 5 == 0, F.lit(" call +1 555-123-4567 now")).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                did % 7 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (did % 256).cast("string"),
+                    F.lit(".25"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+_PII_AUG_SQL = (
+    "select doc_id, text"
+    " || case when doc_id % 3 = 0 then ' contact user' || cast(doc_id as varchar) || '@example.com' else '' end"
+    " || case when doc_id % 5 = 0 then ' call +1 555-123-4567 now' else '' end"
+    " || case when doc_id % 7 = 0 then ' from 10.0.' || cast(doc_id % 256 as varchar) || '.25' else '' end"
+    " as text from documents"
+)
+
 _EXACT_AUG_SQL = (
     "select doc_id, text from documents union all "
     "select doc_id + 200000 as doc_id, text from documents where doc_id % 25 = 0"
@@ -209,6 +249,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["dedup_components"] = lambda spark, sf: dedup.connected_components(
         dedup.minhash_lsh_pairs(_docs_with_near_dups(spark, sf), n=2, threshold=0.5)
+    )
+    q["dedup_canonical"] = lambda spark, sf: dedup.canonical_assignment(
+        _docs_with_near_dups(spark, sf),
+        dedup.minhash_lsh_pairs(_docs_with_near_dups(spark, sf), n=2, threshold=0.5),
+    )
+    q["pii_scrub"] = lambda spark, sf: _cast_long(
+        textstats.pii_scrub(_docs_with_pii(spark, sf)),
+        ["n_email", "n_phone", "n_ipv4"],
+    )
+    q["hash_split_census"] = lambda spark, sf: relational.hash_split_census(
+        load(spark, sf, "documents")
     )
 
     # -- similarity search
@@ -417,7 +468,7 @@ from h
 
     o["doc_fingerprint"] = f"""
 with sh as (
-    select doc_id, [md5(substr(text, i, 16)) for i in generate_series(1, greatest(length(text) - 15, 0))] as fps
+    select doc_id, [md5(substr(text, i, 16)) for i in generate_series(1, greatest(length(text) - 15, 0), 4)] as fps
     from documents
 ),
 {_SIMHASH_SQL_BODY.format(tokens=_TOKENS, src='documents')}
@@ -497,6 +548,67 @@ reach(n, r) as (
 select n as node, min(r) as comp from reach group by n
 """
     )
+
+    o["dedup_canonical"] = (
+        "with recursive "
+        + minhash_ctes
+        + """,
+pairs as (select a_id, b_id from scored where jaccard >= 0.5),
+edges as (
+    select a_id as s, b_id as d from pairs
+    union
+    select b_id, a_id from pairs
+),
+reach(n, r) as (
+    select s, s from (select distinct s from edges) t
+    union
+    select e.d, reach.r from reach join edges e on e.s = reach.n
+),
+comp as (select n as node, min(r) as c from reach group by n)
+select d.doc_id,
+       coalesce(comp.c, d.doc_id) as canonical_id,
+       d.doc_id = coalesce(comp.c, d.doc_id) as is_canonical
+from docs_aug d left join comp on d.doc_id = comp.node
+"""
+    )
+
+    pii_email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    pii_phone = "\\+?[0-9]{1,2}[- ][0-9]{3}[- ][0-9]{3}[- ]?[0-9]{4}"
+    pii_ip = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    o["pii_scrub"] = f"""
+with docs_pii as ({_PII_AUG_SQL}),
+s1 as (
+    select doc_id,
+           cast(len(regexp_extract_all(text, '{pii_email}')) as bigint) as n_email,
+           regexp_replace(text, '{pii_email}', '<EMAIL>', 'g') as t1
+    from docs_pii
+),
+s2 as (
+    select doc_id, n_email,
+           cast(len(regexp_extract_all(t1, '{pii_phone}')) as bigint) as n_phone,
+           regexp_replace(t1, '{pii_phone}', '<PHONE>', 'g') as t2
+    from s1
+),
+s3 as (
+    select doc_id, n_email, n_phone,
+           cast(len(regexp_extract_all(t2, '{pii_ip}')) as bigint) as n_ipv4,
+           regexp_replace(t2, '{pii_ip}', '<IP>', 'g') as t3
+    from s2
+)
+select doc_id, n_email, n_phone, n_ipv4, md5(t3) as scrubbed_md5 from s3
+"""
+
+    o["hash_split_census"] = """
+with s as (
+    select case when strpos('0123456789abcdef', substr(md5(cast(doc_id as varchar)), 1, 1)) - 1 < 13 then 'train'
+                when strpos('0123456789abcdef', substr(md5(cast(doc_id as varchar)), 1, 1)) - 1 < 14 then 'val'
+                else 'test' end as split,
+           n_chars
+    from documents
+)
+select split, count(*) as n_docs, cast(sum(n_chars) as bigint) as total_chars
+from s group by split
+"""
 
     o["dedup_simhash"] = f"""
 with docs_aug as ({_NEAR_AUG_SQL}),

@@ -60,10 +60,16 @@ def word_ngrams(tok: Column, n: int) -> Column:
     )
 
 
-def char_shingles(col: Column, k: int) -> Column:
-    """Array of character k-grams. DuckDB: [x[i:i+k-1] for i in ...]."""
+def char_shingles(col: Column, k: int, step: int = 1) -> Column:
+    """Array of character k-grams starting at positions 1, 1+step, …
+    DuckDB: [x[i:i+k-1] for i in generate_series(1, n, step)].
+
+    ``step > 1`` is the winnowing-style positional sampling used by
+    fingerprinting: at 100 TB, hashing every one of ~10^14 positions buys
+    nothing over a fixed stride (both sides of a near-duplicate pair
+    sample the same positions relative to content length)."""
     count = F.length(col) - (k - 1)
-    idx = F.sequence(F.lit(1), F.greatest(count, F.lit(0)))
+    idx = F.sequence(F.lit(1), F.greatest(count, F.lit(0)), F.lit(step))
     return F.when(
         count >= 1, F.transform(idx, lambda i: F.substring(col, i, k))
     ).otherwise(F.array().cast("array<string>"))

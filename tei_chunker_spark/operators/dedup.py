@@ -343,6 +343,27 @@ def connected_components(
     )
 
 
+def canonical_assignment(documents: DataFrame, pairs: DataFrame) -> DataFrame:
+    """End-to-end dedup decision table: every document mapped to the
+    canonical doc of its near-duplicate component.
+
+    (doc_id, canonical_id, is_canonical): docs in no pair are their own
+    canonical; in a component the min doc_id wins (transitively, via
+    connected_components — pairwise 'keep a, drop b' rules are wrong the
+    moment duplicates chain).  This is the table a 100 TB curation job
+    joins back against the corpus to filter."""
+    comps = connected_components(pairs)
+    return (
+        documents.select("doc_id")
+        .join(comps, documents["doc_id"] == comps["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("comp"), F.col("doc_id")).alias("canonical_id"),
+        )
+        .withColumn("is_canonical", F.col("doc_id") == F.col("canonical_id"))
+    )
+
+
 def embedding_dup_pairs(
     embeddings: DataFrame, threshold: float = 0.95, bucket_col: str = "label"
 ) -> DataFrame:

@@ -260,6 +260,35 @@ def part_type_stats(part: DataFrame) -> DataFrame:
     )
 
 
+def hash_split_census(documents: DataFrame) -> DataFrame:
+    """Deterministic train/val/test split by first md5 nibble of doc_id —
+    the standard leakage-proof way to split a training corpus: membership
+    is a pure function of the id (stable across reruns, machines,
+    engines; no sampling state to persist), and the 16-way nibble gives
+    13/1/2 sixteenths = 81.25% / 6.25% / 12.5%.
+
+    Output: one census row per split (split, n_docs, total_chars) — at
+    100 TB the assignment column is added to the corpus with the same
+    expression; the census is the cheap audit query over it.  Hash domain
+    is md5-of-decimal-string so the DuckDB oracle reproduces it exactly."""
+    nib = F.expr(
+        "instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 1, 1)) - 1"
+    )
+    split = (
+        F.when(nib < 13, F.lit("train"))
+        .when(nib < 14, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        documents.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
 def resume_anti_join(documents: DataFrame) -> DataFrame:
     """Anti-join demo mirroring the manifest resume path: drop documents
     whose id is in the (broadcast) completed set."""

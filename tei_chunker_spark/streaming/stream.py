@@ -12,6 +12,10 @@ primary path.  Two real uses:
 * :func:`events_hourly_stream` — watermarked tumbling-window aggregation
   (late data handled by the watermark) demonstrating the stateful-ops
   surface over the events table.
+* :func:`user_totals_stream` — CUSTOM stateful operator via
+  ``applyInPandasWithState``: per-user running totals carried in explicit
+  group state across micro-batches (the escape hatch when built-in
+  windowed aggregation can't express the state machine).
 """
 from __future__ import annotations
 
@@ -42,6 +46,60 @@ def extract_stream(
     spans = extract_pipeline(src, job)
     return (
         spans.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def user_totals_stream(
+    spark: SparkSession,
+    events_path: str,
+    checkpoint_path: str,
+    output_path: str,
+) -> StreamingQuery:
+    """Custom stateful streaming aggregation: per-user running event count
+    and value sum via ``applyInPandasWithState``.
+
+    Each micro-batch updates the user's explicit state (n_events,
+    sum_value — survives across batches in the state store) and emits the
+    user's updated totals, so the LAST row per user in the output equals
+    the batch groupBy totals once the stream drains.  This is the
+    sanctioned pattern for stateful logic that windowed aggregation can't
+    express (custom counters, session machines, decaying stats): state is
+    an Arrow-typed tuple, the per-group update runs in pandas, and the
+    state store gives exactly-once across restarts via the checkpoint."""
+    src = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .parquet(events_path)
+    )
+
+    def update(key, pdfs, state) -> "object":
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(total, 6)]}
+        )
+
+    totals = src.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, sum_value double",
+        stateStructType="n long, total double",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+    return (
+        totals.writeStream.format("parquet")
         .option("path", output_path)
         .option("checkpointLocation", checkpoint_path)
         .outputMode("append")

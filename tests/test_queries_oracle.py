@@ -48,6 +48,9 @@ FAST_ORACLED = [
     "revenue_filter_agg",
     "top_orders_by_revenue",
     "dedup_components",
+    "dedup_canonical",
+    "pii_scrub",
+    "hash_split_census",
     "events_range_join",
     "user_event_paths",
     "supplier_census",

@@ -68,3 +68,35 @@ def test_available_now_stream_equals_batch(spark, corpus_path, tmp_path):
     q2 = extract_stream(spark, corpus_path, out, ckpt, JOB, max_files_per_trigger=2)
     assert q2.awaitTermination(300)
     assert _spans(spark.read.parquet(out)) == expected
+
+
+def test_user_totals_stateful_stream(spark, tmp_path):
+    """applyInPandasWithState totals: after the stream drains, the final
+    state-driven row per user equals the batch groupBy."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from tei_chunker_spark.streaming.stream import user_totals_stream
+
+    src = tmp_path / "events"
+    src.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src / "part-0.parquet")
+    out = str(tmp_path / "totals")
+    q = user_totals_stream(spark, str(src), str(tmp_path / "ck2"), out)
+    assert q.awaitTermination(300)
+    got = spark.read.parquet(out)
+    # one emission per (user, batch); with AvailableNow + a single input
+    # file this is one batch -> exactly one row per user
+    batch = {
+        r.user_id: (r.n, round(r.s, 6))
+        for r in spark.read.parquet(str(src / "part-0.parquet"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    rows = got.collect()
+    assert len(rows) == len(batch)
+    for r in rows:
+        n, s = batch[r.user_id]
+        assert (r.n_events, round(r.sum_value, 6)) == (n, s)
