@@ -322,6 +322,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_range_join"] = lambda spark, sf: relational.events_range_join(
         load(spark, sf, "events")
     )
+    q["events_interval_overlap"] = lambda spark, sf: relational.events_interval_overlap(
+        load(spark, sf, "events")
+    )
     q["user_event_paths"] = lambda spark, sf: relational.user_event_paths(
         load(spark, sf, "events")
     )
@@ -898,6 +901,26 @@ windows as (
 )
 select w, count(*) as n_events, round(sum(value), 6) as sum_value
 from events join windows on ts >= w_start and ts < w_end
+group by w
+"""
+
+    o["events_interval_overlap"] = """
+with b as (
+    select floor(epoch(min(ts)))::bigint as lo,
+           floor((floor(epoch(max(ts)))::bigint - floor(epoch(min(ts)))::bigint) / 24)::bigint + 1 as width
+    from events
+),
+w as (
+    select unnest(generate_series(0, 23)) as w, lo, width from b
+),
+win as (
+    select w, lo + w * width as s,
+           lo + w * width + width + width // 2 as e
+    from w
+)
+select w, count(*) as n_events, round(sum(value), 6) as sum_value
+from events join win
+  on floor(epoch(ts))::bigint >= s and floor(epoch(ts))::bigint < e
 group by w
 """
 

@@ -217,6 +217,61 @@ def events_range_join(events: DataFrame, n_windows: int = 24) -> DataFrame:
     )
 
 
+def events_interval_overlap(events: DataFrame, n_windows: int = 24) -> DataFrame:
+    """Range join, the 100 TB pattern: OVERLAPPING half-open windows
+    (length 1.5x the stride, so an event can fall in 1-2 windows) joined
+    to events by BUCKETIZATION — each interval explodes to the fixed-width
+    buckets it covers, events compute their bucket arithmetically, the
+    join is a plain EQUI-join on bucket, and exact containment is a
+    post-filter.  ``events_range_join`` keeps the BroadcastNLJ variant
+    (right when the interval table is tiny); this one is the shape that
+    survives when intervals number in the millions — the NLJ's
+    |events| x |intervals| comparisons become |events| + |postings| hash
+    probes, shuffled on a key Catalyst can distribute."""
+    bounds = events.agg(
+        F.unix_timestamp(F.min("ts")).alias("lo"),
+        F.unix_timestamp(F.max("ts")).alias("hi"),
+    ).select(
+        "lo",
+        (F.floor((F.col("hi") - F.col("lo")) / n_windows) + 1).alias("width"),
+    )
+    windows = bounds.select(
+        F.explode(F.sequence(F.lit(0), F.lit(n_windows - 1))).alias("w"),
+        "lo",
+        "width",
+    ).select(
+        "w",
+        (F.col("lo") + F.col("w") * F.col("width")).alias("s"),
+        (
+            F.col("lo")
+            + F.col("w") * F.col("width")
+            + F.col("width")
+            + F.floor(F.col("width") / 2)
+        ).alias("e"),
+    )
+    # interval -> covered buckets: length 1.5*width spans exactly buckets
+    # w and w+1 (half-open end).
+    postings = windows.select(
+        "w", "s", "e", F.explode(F.sequence(F.col("w"), F.col("w") + 1)).alias("bucket")
+    )
+    ev = events.crossJoin(F.broadcast(bounds)).select(
+        "value",
+        F.unix_timestamp(F.col("ts")).alias("ev_s"),
+        F.floor((F.unix_timestamp(F.col("ts")) - F.col("lo")) / F.col("width")).alias(
+            "bucket"
+        ),
+    )
+    return (
+        ev.join(postings, "bucket")
+        .filter((F.col("ev_s") >= F.col("s")) & (F.col("ev_s") < F.col("e")))
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+
+
 def user_event_paths(events: DataFrame, max_users: int = 500) -> DataFrame:
     """Ordered re-nest: per user, the comma-joined sequence of event types
     in (ts, event_id) order — collect_list + array_sort, the same idiom the

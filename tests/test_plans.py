@@ -70,3 +70,44 @@ def test_dim_join_is_broadcast(spark, tmp_path_factory):
         load(spark, sf, "nation"),
     )
     assert count_broadcasts(out) >= 1
+
+
+def test_doc_fingerprint_zero_exchanges(spark):
+    """Fingerprints are per-row expressions — any exchange here is a
+    regression (r1's simhash joined a two-shuffle aggregation)."""
+    from tei_chunker_spark.operators.textstats import doc_fingerprint
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert count_exchanges(doc_fingerprint(docs)) == 0
+
+
+def test_simhash_banded_no_nested_loop(spark):
+    """Banded simhash candidates come from an EQUI-join on the band key;
+    a nested-loop plan would mean the join degenerated to all-pairs."""
+    from tei_chunker_spark.operators.dedup import simhash_banded_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = executed_plan(simhash_banded_pairs(docs))
+    assert "NestedLoop" not in plan
+
+
+def test_interval_overlap_is_equi_join(spark):
+    """The bucketized range join must plan the events-vs-postings join as
+    a HASH equi-join on bucket.  (The single permitted NestedLoop is the
+    1-row bounds attach — a scalar broadcast cross join, same as
+    events_range_join's; the interval join itself must never be one.)"""
+    from tei_chunker_spark.operators.relational import events_interval_overlap
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = executed_plan(events_interval_overlap(ev))
+    assert "BroadcastHashJoin [bucket" in plan or "SortMergeJoin [bucket" in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # only the 1-row bounds bind
+
+
+def test_section_pipeline_single_shuffle(spark, corpus_path):
+    from tei_chunker_spark.operators.extract import section_metadata_pipeline
+
+    df = spark.read.parquet(corpus_path)
+    secs = section_metadata_pipeline(df, JOB)
+    assert count_exchanges(secs) == 1
+    assert "MapInPandas" in executed_plan(secs)

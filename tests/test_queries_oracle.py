@@ -52,6 +52,7 @@ FAST_ORACLED = [
     "pii_scrub",
     "hash_split_census",
     "events_range_join",
+    "events_interval_overlap",
     "user_event_paths",
     "supplier_census",
     "part_type_stats",
