@@ -215,6 +215,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["extract_sections"] = lambda spark, sf: section_metadata_pipeline(
         _interleaved_corpus(spark, sf), _FLAGSHIP_JOB
     )
+    q["media_frame_sample"] = lambda spark, sf: _cast_long(
+        multimodal.media_frame_sample(
+            multimodal.attach_payloads(
+                extract_pipeline(_interleaved_corpus(spark, sf), _FLAGSHIP_JOB)
+                .filter(F.col("kind") == "media_ref")
+                .select("doc_id", "media_ref")
+            )
+        ),
+        ["frame_idx"],
+    )
 
     # -- text analysis
     q["doc_stats"] = lambda spark, sf: _cast_long(
@@ -412,6 +422,26 @@ select g.media_ref, g.media_kind, g.byte_len, g.feat_checksum,
        g.feat_width, g.feat_height
 from read_parquet('{_FIXTURES}/golden_media_features.parquet') g
 {_DOCS_JOIN}
+"""
+
+    # payload = unhex(sha256(media_ref)); frame i = payload[8i:8i+8];
+    # checksum = md5(lowercase-hex(frame)) = md5(substr(sha256hex, 16i+1, 16));
+    # frame count = 1 + payload[0] % 4 (first byte from the first two nibbles).
+    o["media_frame_sample"] = f"""
+with m as (
+    select g.media_ref, sha256(g.media_ref) as hx
+    from read_parquet('{_FIXTURES}/golden_media_features.parquet') g
+    {_DOCS_JOIN}
+),
+n as (
+    select media_ref, hx,
+           1 + ((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1)) % 4 as nf
+    from m
+)
+select media_ref, cast(i as bigint) as frame_idx,
+       md5(substr(hx, i * 16 + 1, 16)) as frame_checksum
+from n, unnest(generate_series(0, nf - 1)) as t(i)
 """
 
     o["doc_stats"] = f"""

@@ -58,6 +58,47 @@ def _decode_stub(payload: bytes) -> dict:
     }
 
 
+FRAME_SCHEMA = "media_ref string, frame_idx int, frame_checksum string"
+
+
+def media_frame_sample(media: DataFrame, max_frames: int = 4) -> DataFrame:
+    """STUB frame sampler: one media row -> N frame rows (the video
+    frame-sampling shape: Arrow-batched ``mapInPandas``, per-payload
+    fan-out decided by the payload itself, bytes never leave Arrow until
+    the per-frame slice).
+
+    FAKE but deterministic, like ``_decode_stub``: 'frames' are fixed
+    8-byte windows of the payload and the frame count is
+    ``1 + payload[0] % max_frames`` — a real codec replaces the slicing
+    with actual frame extraction and everything else (schema, batching,
+    fan-out, checksum audit) stays.  Checksums hash the frame's lowercase
+    hex so the DuckDB oracle can reproduce them (DuckDB md5 takes VARCHAR
+    only)."""
+
+    def sample(batches: Iterable) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            refs, idxs, cks = [], [], []
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                b = bytes(payload)
+                n = 1 + (b[0] % max_frames) if b else 1
+                for i in range(n):
+                    frame = b[i * 8 : (i + 1) * 8]
+                    refs.append(ref)
+                    idxs.append(i)
+                    cks.append(hashlib.md5(frame.hex().encode()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_ref": refs,
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "frame_checksum": cks,
+                }
+            )
+
+    return media.mapInPandas(sample, FRAME_SCHEMA)
+
+
 def media_features(
     media: DataFrame,
     decode_fn: Optional[Callable[[bytes], dict]] = _decode_stub,

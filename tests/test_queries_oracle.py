@@ -23,6 +23,7 @@ FAST_ORACLED = [
     "extract_doc_metrics",
     "extract_sections",
     "media_features_stub",
+    "media_frame_sample",
     "doc_stats",
     "doc_quality",
     "doc_langid",
