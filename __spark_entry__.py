@@ -450,7 +450,9 @@ select doc_id,
        cast(case when length(trim(text)) = 0 then 0 else len({_TOKENS}) end as bigint) as n_tokens,
        cast(len(list_distinct({_TOKENS})) as bigint) as n_distinct_tokens,
        cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) as bigint) as n_bpe_tokens,
-       round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text), 6) as alpha_ratio,
+       case when length(text) > 0
+            then round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text), 6)
+       end as alpha_ratio,
        cast(coalesce(list_max([length(w) for w in {_TOKENS}]), 0) as bigint) as max_token_len
 from documents
 """

@@ -187,6 +187,7 @@ def main() -> None:
         lo = int(os.environ.get("TEI_BENCH_N", "1"))
         hi = 4 * lo
         results = {lo: {"walls": []}, hi: {"walls": []}}
+        hi_first = []  # first measured hi wall per pair (see official stat)
         pair_eff, accepted, canaries = [], [], []
         # Interleave N / 4N children back-to-back; the host's effective
         # speed drifts on minute scales (shared physical host), so the
@@ -198,13 +199,15 @@ def main() -> None:
         for _ in range(RUNS):
             pair = {}
             for cpus in (lo, hi):
-                # 2 measured runs at 4N (cheap, and the min estimator gains
-                # most from extra samples at the level with shorter walls).
+                # 2 measured runs at 4N: cheap, and the per-pair median
+                # gains stability at the level with shorter walls.
                 r = _run_child(cpus, 2 if cpus == hi else 1)
                 results[cpus]["walls"].extend(r["walls"])
                 results[cpus]["docs"] = r["docs"]
                 results[cpus]["spans"] = r["spans"]
                 pair[cpus] = statistics.median(r["walls"])
+                if cpus == hi:
+                    hi_first.append(r["walls"][0])
             canaries.append(round(single_proc_anchor(n_docs=1200), 1))
             eff = round(pair[lo] / ((hi / lo) * pair[hi]), 3)
             pair_eff.append(eff)
@@ -216,16 +219,19 @@ def main() -> None:
             for c in results
         }
         # Official: contention only ever slows a run, so the best observed
-        # wall per level is the consistent estimator of the quiet-host wall;
-        # the ratio of per-level minima estimates the engine's true scaling.
+        # wall per level is the consistent estimator of the quiet-host wall.
+        # SYMMETRIC sample counts: one wall per pair per level (the hi
+        # child's FIRST measured run) — min over 10 hi walls vs 5 lo walls
+        # would bias the headline up under one-sided noise.
         best_eff = round(
-            min(results[lo]["walls"]) / ((hi / lo) * min(results[hi]["walls"])), 3
+            min(results[lo]["walls"]) / ((hi / lo) * min(hi_first)), 3
         )
         official = best_eff
         gated_median = statistics.median(accepted if len(accepted) >= 2 else pair_eff)
-        peak = (
-            _run_child(CPUS, 3, parts=CPUS * 8) if CPUS != hi else results[hi]
-        )
+        # Always a dedicated peak child: the scaling pair runs at
+        # SCALING_PARTS (identical-plan requirement), which is a straggler
+        # trap at high core counts — peak needs ~8 partitions per core.
+        peak = _run_child(CPUS, 3, parts=CPUS * 8)
         peak_thr = peak["docs"] / min(peak["walls"])
         extraction = {
             "corpus_docs": results[hi]["docs"],

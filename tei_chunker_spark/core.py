@@ -66,11 +66,6 @@ class Span(NamedTuple):
     media_ref: Optional[str]
 
 
-def _local_tag(tag: str) -> str:
-    """Strip the namespace prefix, as chunking.py:118/:159 does."""
-    return tag.rsplit("}", 1)[-1] if "}" in tag else tag
-
-
 def flatten_text(element: Optional[ET.Element]) -> str:
     """Recursive text extraction with inline-markup projection.
 

@@ -28,6 +28,12 @@ def tokens(col: Column) -> Column:
 
 
 def token_count(col: Column) -> Column:
+    """Whitespace-token count with the empty-string guard (split('') is
+    [''], size 1 — the guard makes the empty document count 0).  NOTE:
+    operators that already materialized the token array behind a
+    generator barrier (textstats._with_tokens) inline this formula against
+    the materialized column instead of calling it — calling it there
+    would re-split the text."""
     return F.when(F.length(F.trim(col)) == 0, F.lit(0)).otherwise(
         F.size(tokens(col))
     )

@@ -126,30 +126,34 @@ def salt_column(num_partitions: int, col: str = "doc_id") -> Column:
     return F.pmod(F.xxhash64(F.col(col)), F.lit(num_partitions)).cast("int")
 
 
+def _salted(df: DataFrame, job: JobConfig) -> DataFrame:
+    """The shared head of every extraction-family pipeline.
+
+    Salt + shuffle FIRST, reassemble AFTER: the concat/sort codegen then
+    runs in the p-way wide stage instead of the scan stage, whose task
+    count is bounded by input splits (a handful of parquet files must not
+    cap CPU parallelism).  The scan stage does nothing but read + shuffle.
+    If the table is already bucketed on the salt key (Iceberg
+    bucket(P, doc_id) layout), skip the shuffle entirely — at 100 TB the
+    repartition would otherwise move every input byte once for nothing."""
+    if job.assume_bucketed_input:
+        return df.select("doc_id", "spans")
+    p = job.shuffle_partitions
+    return (
+        df.select("doc_id", "spans")
+        .withColumn("_salt", salt_column(p))
+        .repartition(p, "_salt")
+        .drop("_salt")
+    )
+
+
 def extract_pipeline(df: DataFrame, job: JobConfig) -> DataFrame:
     """documents(doc_id, spans) -> spans_out(doc_id, offset, kind, text, media_ref).
 
     Output row order within a document is the semantic ``offset``; global
     order is undefined (it's a distributed table — verification sorts).
     """
-    p = job.shuffle_partitions
-    # Salt + shuffle FIRST, reassemble AFTER: the concat/sort codegen then
-    # runs in the p-way wide stage instead of the scan stage, whose task
-    # count is bounded by input splits (a handful of parquet files must not
-    # cap CPU parallelism).  The scan stage does nothing but read + shuffle.
-    # If the table is already bucketed on the salt key (Iceberg
-    # bucket(P, doc_id) layout), skip the shuffle entirely — at 100 TB the
-    # repartition would otherwise move every input byte once for nothing.
-    if job.assume_bucketed_input:
-        salted = df.select("doc_id", "spans")
-    else:
-        salted = (
-            df.select("doc_id", "spans")
-            .withColumn("_salt", salt_column(p))
-            .repartition(p, "_salt")
-            .drop("_salt")
-        )
-    return reassembled(salted).mapInPandas(
+    return reassembled(_salted(df, job)).mapInPandas(
         make_batch_extractor(job.chunker), SPAN_SCHEMA_DDL
     )
 
@@ -162,16 +166,7 @@ def section_metadata_pipeline(df: DataFrame, job: JobConfig) -> DataFrame:
     section — (doc_id, section_idx, title, level, length,
     subsection_count), length = direct content only.  Same physical shape
     as extract_pipeline: scan -> one salted exchange -> mapInPandas."""
-    p = job.shuffle_partitions
-    if job.assume_bucketed_input:
-        salted = df.select("doc_id", "spans")
-    else:
-        salted = (
-            df.select("doc_id", "spans")
-            .withColumn("_salt", salt_column(p))
-            .repartition(p, "_salt")
-            .drop("_salt")
-        )
+    salted = _salted(df, job)
     cap = job.chunker.max_doc_chars
 
     def meta_batches(batches: Iterable) -> Iterator:

@@ -39,8 +39,9 @@ from ..functions.columns import cosine
 QUANT_SCALE = 10000
 
 
-def quantized(df: DataFrame, vec_col: str = "embedding") -> F.Column:
-    """Exact integer quantization of a float vector column."""
+def quantized(vec_col: str = "embedding") -> F.Column:
+    """Exact integer quantization of a float vector column (a pure Column
+    expression over ``vec_col``; bind it in any select)."""
     return F.expr(
         f"transform({vec_col}, x -> cast(round(cast(x as double) * {QUANT_SCALE}) as bigint))"
     )
@@ -86,7 +87,7 @@ def train_ivf_centroids(
     and deterministic).  Each iteration assigns every vector to its nearest
     centroid and recomputes centroids as element-wise floor(mean); empty
     cells keep their previous centroid."""
-    q = embeddings.select(F.col(id_col).alias("_id"), quantized(embeddings, vec_col).alias("qv"))
+    q = embeddings.select(F.col(id_col).alias("_id"), quantized(vec_col).alias("qv"))
     cents = [list(r.qv) for r in q.orderBy("_id").limit(n_cells).collect()]
     dim = len(cents[0])
     for _ in range(iters):
@@ -114,7 +115,7 @@ def assign_cells(
     """embeddings + ``cell`` from a trained codebook (narrow map, no
     shuffle — at scale this is the write path that buckets/partitions the
     corpus by cell so probes prune to one cell's files)."""
-    q = embeddings.select("*", quantized(embeddings, vec_col).alias("qv"))
+    q = embeddings.select("*", quantized(vec_col).alias("qv"))
     return _with_cell(q, centroids).drop("qv")
 
 

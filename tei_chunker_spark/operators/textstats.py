@@ -63,8 +63,13 @@ def doc_stats(documents: DataFrame) -> DataFrame:
         n_tokens.alias("n_tokens"),
         F.size(F.array_distinct(tok)).alias("n_distinct_tokens"),
         bpe_ish_count(text).alias("n_bpe_tokens"),
-        F.round(
-            F.length(F.regexp_replace(text, r"[^A-Za-z]", "")) / F.length(text), 6
+        # NULL for the empty document: under ANSI mode (on in this engine)
+        # an unguarded 0/0 would kill the whole query with DIVIDE_BY_ZERO.
+        F.when(
+            F.length(text) > 0,
+            F.round(
+                F.length(F.regexp_replace(text, r"[^A-Za-z]", "")) / F.length(text), 6
+            ),
         ).alias("alpha_ratio"),
         F.aggregate(
             tok, F.lit(0), lambda acc, w: F.greatest(acc, F.length(w))
@@ -156,8 +161,11 @@ def doc_fingerprint(
 # Per-nibble packed bit-vote lookup: nibble value v (0..15) contributes its
 # four bits spread into four 16-bit counter lanes of one bigint —
 # lane j holds ((v >> j) & 1).  Summing these packed words over all tokens
-# counts, per lane, how many tokens set that bit (safe for < 32768 distinct
-# tokens per document, far above any real document's distinct-token count).
+# counts, per lane, how many tokens set that bit.  Safe bound: < 32,768
+# distinct tokens per document (beyond that the top lane reaches the
+# bigint sign bit and ANSI mode kills the query with ARITHMETIC_OVERFLOW —
+# a loud failure, never a silently wrong signature; real documents sit
+# orders of magnitude below the bound).
 _NIBBLE_LANES = [
     (v & 1) | (((v >> 1) & 1) << 16) | (((v >> 2) & 1) << 32) | (((v >> 3) & 1) << 48)
     for v in range(16)

@@ -134,7 +134,7 @@ def test_kmeans_training_deterministic(spark):
     assert len(c1) == 4 and len(c1[0]) == 64
     # training moved the centroids off their init points
     init = [list(r.qv) for r in emb.select(
-        kmeans.quantized(emb).alias("qv"), "vec_id"
+        kmeans.quantized("embedding").alias("qv"), "vec_id"
     ).orderBy("vec_id").limit(4).collect()]
     assert c1 != init
 
@@ -174,3 +174,19 @@ def test_ivf_trained_recall_vs_bruteforce(spark):
     true = {(r.query_id, r.neighbor_id) for r in bf.collect()}
     recall = len(got & true) / len(true)
     assert recall >= 0.3, f"recall@10 {recall:.2f} below floor"
+
+
+def test_doc_stats_empty_and_degenerate_docs(spark):
+    """ANSI mode is on: an unguarded 0/0 in alpha_ratio would kill the
+    whole query on the first empty document (review finding, r2)."""
+    from tei_chunker_spark.operators.textstats import doc_quality, doc_stats
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "a b")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in doc_stats(docs).collect()}
+    assert rows[1].alpha_ratio is None and rows[1].n_tokens == 0
+    assert rows[2].n_tokens == 0
+    assert rows[3].n_tokens == 2 and rows[3].alpha_ratio is not None
+    q = {r.doc_id: r for r in doc_quality(docs).collect()}
+    assert q[1].quality is None and q[3].quality is not None
