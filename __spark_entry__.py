@@ -360,11 +360,21 @@ def _asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tei_chunker_spark.operators.asof import asof_join
 
     events = load(spark, sf_dir, "events")
+    # Exact-decimal sum, then one double division: a plain avg(double) is
+    # order-dependent in the last ulp under distributed partial
+    # aggregation, which flips the 6th rounded decimal on boundary values
+    # at sf0.1 row counts; the decimal sum is exact and engine-portable
+    # (verified bit-identical to DuckDB over the full table).
     hourly = (
         events.groupBy(
             "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
         )
-        .agg(F.avg("value").alias("prev_hour_avg"))
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(20,10)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("prev_hour_avg")
+        )
         .withColumn("hour_end", F.col("hour") + F.expr("INTERVAL 1 HOUR"))
     )
     joined = asof_join(
@@ -869,7 +879,7 @@ from events group by event_type
 with hourly as (
     select event_type,
            date_trunc('hour', ts) + interval 1 hour as hour_end,
-           avg(value) as prev_hour_avg
+           cast(sum(cast(value as decimal(20,10))) as double) / count(*) as prev_hour_avg
     from events group by event_type, date_trunc('hour', ts)
 )
 select e.event_id, e.event_type, round(h.prev_hour_avg, 6) as prev_hour_avg

@@ -7,6 +7,7 @@ Run: python scripts/check_oracles.py [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 
 import duckdb
@@ -18,7 +19,7 @@ import __spark_entry__ as entrymod  # noqa: E402
 from tei_chunker_spark.sources.session import get_spark  # noqa: E402
 from tei_chunker_spark.sources.tables import TABLES  # noqa: E402
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("TEI_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
 
 from tei_chunker_spark.testing import normalize_for_compare as normalize
