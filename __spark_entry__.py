@@ -2,11 +2,12 @@
 
 ``entry(spark)`` runs the flagship extraction pipeline on sf0.001.
 ``queries()`` exposes every implemented operator (SURVEY.md §2 plus the
-training-data-pipeline operators); ``oracle_sql()`` gives the DuckDB-
-equivalent ANSI SQL for each SQL-expressible one.  The extraction pipeline
-itself is a whole-document fold (reference chunking.py:185-265) that SQL
-cannot express — those entries are rows-only checked here and are pinned
-instead by the golden/parity pytest suite (FIXTURES.md §3).
+training-data-pipeline operators); ``oracle_sql()`` gives a DuckDB oracle
+for EVERY entry.  The extraction pipeline is a whole-document fold
+(reference chunking.py:185-265) that SQL cannot express — its entries are
+oracled through precomputed golden fixtures (the corpus is a pure
+function of doc_id; scripts/make_golden_fixtures.py), and additionally
+pinned by the golden/parity pytest suite (FIXTURES.md §3).
 
 Column-name/type parity notes: every computed column is aliased
 identically on both sides; integer outputs are cast to bigint on both
@@ -843,7 +844,7 @@ select lang, doc_id, n_chars, cast(rnk as bigint) as rnk from r where rnk <= 3
 
     o["events_hourly"] = """
 select date_trunc('hour', ts) as hour, event_type,
-       count(*) as n_events, round(sum(value), 6) as sum_value
+       count(*) as n_events, round(cast(sum(cast(value as decimal(25,10))) as double), 6) as sum_value
 from events group by date_trunc('hour', ts), event_type
 """
 
@@ -862,7 +863,7 @@ g as (
 )
 select user_id, cast(session_seq as bigint) as session_seq,
        count(*) as n_events, min(ts) as session_start, max(ts) as session_end,
-       round(sum(value), 6) as session_value
+       round(cast(sum(cast(value as decimal(25,10))) as double), 6) as session_value
 from g group by user_id, session_seq
 """
 
@@ -889,7 +890,7 @@ asof left join hourly h
 """
 
     o["revenue_filter_agg"] = """
-select round(sum(l_extendedprice * l_discount), 2) as revenue,
+select round(cast(sum(cast(l_extendedprice * l_discount as decimal(25,10))) as double), 2) as revenue,
        count(*) as n_items
 from lineitem
 where l_shipdate >= timestamp '1997-01-01'
@@ -900,7 +901,7 @@ where l_shipdate >= timestamp '1997-01-01'
 
     o["top_orders_by_revenue"] = """
 select l_orderkey, o_orderdate,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
+       round(cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(25,10))) as double), 2) as revenue
 from lineitem
 join orders on l_orderkey = o_orderkey
 join customer on o_custkey = c_custkey
@@ -914,9 +915,9 @@ limit 10
 
     o["pricing_summary"] = """
 select l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) as sum_qty,
-       round(sum(l_extendedprice), 2) as sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_disc_price,
+       round(cast(sum(cast(l_quantity as decimal(25,10))) as double), 2) as sum_qty,
+       round(cast(sum(cast(l_extendedprice as decimal(25,10))) as double), 2) as sum_base_price,
+       round(cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(25,10))) as double), 2) as sum_disc_price,
        round(avg(l_quantity), 4) as avg_qty,
        round(avg(l_discount), 4) as avg_disc,
        count(*) as count_order
@@ -941,7 +942,7 @@ windows as (
            to_timestamp(lo + (w + 1) * width)::timestamp as w_end
     from w
 )
-select w, count(*) as n_events, round(sum(value), 6) as sum_value
+select w, count(*) as n_events, round(cast(sum(cast(value as decimal(25,10))) as double), 6) as sum_value
 from events join windows on ts >= w_start and ts < w_end
 group by w
 """
@@ -960,7 +961,7 @@ win as (
            lo + w * width + width + width // 2 as e
     from w
 )
-select w, count(*) as n_events, round(sum(value), 6) as sum_value
+select w, count(*) as n_events, round(cast(sum(cast(value as decimal(25,10))) as double), 6) as sum_value
 from events join win
   on floor(epoch(ts))::bigint >= s and floor(epoch(ts))::bigint < e
 group by w
@@ -977,7 +978,7 @@ group by user_id
 
     o["supplier_census"] = """
 select r_name, n_name, count(*) as n_suppliers,
-       round(sum(s_acctbal), 2) as total_acctbal
+       round(cast(sum(cast(s_acctbal as decimal(25,10))) as double), 2) as total_acctbal
 from supplier
 join nation on s_nationkey = n_nationkey
 join region on n_regionkey = r_regionkey
@@ -994,7 +995,7 @@ from part group by p_type
 
     o["revenue_by_nation"] = """
 select n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue,
+       round(cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(25,10))) as double), 2) as revenue,
        count(*) as n_items
 from lineitem
 join orders on l_orderkey = o_orderkey

@@ -18,17 +18,31 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def dsum(col, scale: int) -> F.Column:
+    """Order-independent rounded sum of a double expression.
+
+    ``round(sum(double), k)`` is a latent flake: distributed partial
+    aggregation sums in nondeterministic order, the last ulp wanders, and
+    a group whose true sum sits near a rounding boundary flips its k-th
+    decimal between runs/engines (observed once at sf0.1 before this
+    hardening).  Accumulating in decimal(25,10) is exact and
+    order-independent; the per-row double->decimal cast and the final
+    decimal->double cast are both deterministic.  DuckDB mirror:
+    ``round(cast(sum(cast(x as decimal(25,10))) as double), k)``."""
+    return F.round(F.sum(col.cast("decimal(25,10)")).cast("double"), scale)
+
+
 def pricing_summary(lineitem: DataFrame) -> DataFrame:
     """TPC-H Q1 shape: filter -> hash aggregate -> sort."""
     return (
         lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
+            dsum(F.col("l_quantity"), 2).alias("sum_qty"),
+            dsum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
+                "sum_disc_price"
+            ),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
@@ -53,9 +67,9 @@ def revenue_by_nation(
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -90,7 +104,7 @@ def events_hourly(events: DataFrame) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            dsum(F.col("value"), 6).alias("sum_value"),
         )
     )
 
@@ -123,7 +137,7 @@ def events_sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
-        F.round(F.sum("value"), 6).alias("session_value"),
+        dsum(F.col("value"), 6).alias("session_value"),
     )
 
 
@@ -146,9 +160,7 @@ def revenue_filter_agg(lineitem: DataFrame) -> DataFrame:
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-            "revenue"
-        ),
+        dsum(F.col("l_extendedprice") * F.col("l_discount"), 2).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
@@ -172,9 +184,9 @@ def top_orders_by_revenue(
         )
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
+                "revenue"
+            )
         )
         .orderBy(F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc())
         .limit(k)
@@ -212,7 +224,7 @@ def events_range_join(events: DataFrame, n_windows: int = 24) -> DataFrame:
         .groupBy("w")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            dsum(F.col("value"), 6).alias("sum_value"),
         )
     )
 
@@ -267,7 +279,7 @@ def events_interval_overlap(events: DataFrame, n_windows: int = 24) -> DataFrame
         .groupBy("w")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            dsum(F.col("value"), 6).alias("sum_value"),
         )
     )
 
@@ -300,7 +312,7 @@ def supplier_census(supplier: DataFrame, nation: DataFrame, region: DataFrame) -
         .rollup("r_name", "n_name")
         .agg(
             F.count(F.lit(1)).alias("n_suppliers"),
-            F.round(F.sum("s_acctbal"), 2).alias("total_acctbal"),
+            dsum(F.col("s_acctbal"), 2).alias("total_acctbal"),
         )
     )
 
