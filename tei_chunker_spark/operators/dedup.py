@@ -69,9 +69,10 @@ def shingle_table(documents: DataFrame, n: int = 2) -> DataFrame:
     )
 
 
-def minhash_signatures(documents: DataFrame, n: int = 2) -> DataFrame:
-    """k=4 MinHash signature: per seed, the lexicographic min of
-    md5(seed || shingle) over the doc's word-n-gram set.
+def minhash_signatures_from(shingles: DataFrame) -> DataFrame:
+    """k=4 MinHash signature from a (doc_id, shingle) posting table: per
+    seed, the lexicographic min of md5(seed || shingle) over the doc's
+    word-n-gram set.
 
     Computed as a hash aggregate over the posting table (map-side partial
     min -> one narrow row per doc), which also materializes the signature:
@@ -83,7 +84,11 @@ def minhash_signatures(documents: DataFrame, n: int = 2) -> DataFrame:
         F.min(F.md5(F.concat(F.lit(seed), F.col("shingle")))).alias(f"mh{i}")
         for i, seed in enumerate(MINHASH_SEEDS)
     ]
-    return shingle_table(documents, n).groupBy("doc_id").agg(*aggs)
+    return shingles.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures(documents: DataFrame, n: int = 2) -> DataFrame:
+    return minhash_signatures_from(shingle_table(documents, n))
 
 
 def jaccard_pairs(
@@ -106,6 +111,12 @@ def jaccard_pairs(
             .select("shingle")
         )
         shingles = shingles.join(keep, "shingle")
+    # The (capped) posting table feeds sizes + the intersection join(s):
+    # persist so the shingle expression tree evaluates once, not 2-3x
+    # (no-op if the caller already persisted it, e.g. minhash_lsh_pairs).
+    from pyspark import StorageLevel
+
+    shingles = shingles.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
     if candidates is not None:
         # Verify-only-candidates: route the posting join THROUGH the pair
@@ -160,8 +171,17 @@ def jaccard_pairs(
 def minhash_lsh_pairs(
     documents: DataFrame, n: int = 2, threshold: float = 0.5
 ) -> DataFrame:
-    """LSH candidate pairs (2 bands x 2 rows) verified by exact Jaccard."""
-    sig = minhash_signatures(documents, n)
+    """LSH candidate pairs (2 bands x 2 rows) verified by exact Jaccard.
+
+    The posting table feeds BOTH the signature build and the exact-Jaccard
+    verify; it is persisted so the corpus is tokenized/shingled ONCE per
+    invocation instead of twice (at 10^12 docs the duplicate expression
+    tree would re-read and re-split every document; Spark's ContextCleaner
+    drops the block when the result DataFrame is garbage-collected)."""
+    from pyspark import StorageLevel
+
+    sh = shingle_table(documents, n).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = minhash_signatures_from(sh)
     # F.concat (not concat_ws): NULL-propagating like SQL ||, so a doc with
     # no shingles gets a NULL band and drops out of the equi-join cleanly.
     bands = sig.select(
@@ -182,7 +202,7 @@ def minhash_lsh_pairs(
         )
         cands = c if cands is None else cands.unionByName(c)
     cands = cands.distinct()
-    return jaccard_pairs(shingle_table(documents, n), cands, threshold)
+    return jaccard_pairs(sh, cands, threshold)
 
 
 def simhash_pairs(documents: DataFrame) -> DataFrame:
