@@ -110,13 +110,16 @@ def jaccard_pairs(
             .filter(F.col("df") <= max_shingle_df)
             .select("shingle")
         )
-        shingles = shingles.join(keep, "shingle")
-    # The (capped) posting table feeds sizes + the intersection join(s):
-    # persist so the shingle expression tree evaluates once, not 2-3x
-    # (no-op if the caller already persisted it, e.g. minhash_lsh_pairs).
-    from pyspark import StorageLevel
-
-    shingles = shingles.persist(StorageLevel.MEMORY_AND_DISK)
+        # The capped posting table feeds sizes + the intersection join:
+        # materialize it once (eager local checkpoint) instead of
+        # re-tokenizing the corpus per reference.  localCheckpoint (not
+        # persist) on purpose: its RDD blocks are ContextCleaner-managed
+        # and freed when the result is garbage-collected, whereas a
+        # Dataset persist stays in the CacheManager until an explicit
+        # unpersist — a leak across a long session.  On a real cluster
+        # with executor loss, use reliable checkpointing or a table write
+        # between stages instead.
+        shingles = shingles.join(keep, "shingle").localCheckpoint(eager=True)
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
     if candidates is not None:
         # Verify-only-candidates: route the posting join THROUGH the pair
@@ -174,13 +177,14 @@ def minhash_lsh_pairs(
     """LSH candidate pairs (2 bands x 2 rows) verified by exact Jaccard.
 
     The posting table feeds BOTH the signature build and the exact-Jaccard
-    verify; it is persisted so the corpus is tokenized/shingled ONCE per
-    invocation instead of twice (at 10^12 docs the duplicate expression
-    tree would re-read and re-split every document; Spark's ContextCleaner
-    drops the block when the result DataFrame is garbage-collected)."""
-    from pyspark import StorageLevel
-
-    sh = shingle_table(documents, n).persist(StorageLevel.MEMORY_AND_DISK)
+    verify; it is materialized once (eager local checkpoint, whose RDD
+    blocks the ContextCleaner frees on GC — unlike a Dataset persist,
+    which the CacheManager holds until explicit unpersist) so the corpus
+    is tokenized/shingled ONCE per invocation instead of twice (at 10^12
+    docs the duplicate expression tree would re-read every document).
+    Construction is therefore partially EAGER: the posting build runs when
+    this function is called, not at the first action."""
+    sh = shingle_table(documents, n).localCheckpoint(eager=True)
     sig = minhash_signatures_from(sh)
     # F.concat (not concat_ws): NULL-propagating like SQL ||, so a doc with
     # no shingles gets a NULL band and drops out of the equi-join cleanly.

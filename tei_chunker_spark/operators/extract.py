@@ -194,4 +194,11 @@ def section_metadata_pipeline(df: DataFrame, job: JobConfig) -> DataFrame:
                 }
             )
 
-    return reassembled(salted).mapInPandas(meta_batches, SECTION_SCHEMA_DDL)
+    # select() before the Python stage: the section walk never reads the
+    # media array, and the projection lets Catalyst prune the media
+    # filter/transform out of the plan AND off the Arrow wire.
+    return (
+        reassembled(salted)
+        .select("doc_id", "xml")
+        .mapInPandas(meta_batches, SECTION_SCHEMA_DDL)
+    )

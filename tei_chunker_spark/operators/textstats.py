@@ -161,11 +161,14 @@ def doc_fingerprint(
 # Per-nibble packed bit-vote lookup: nibble value v (0..15) contributes its
 # four bits spread into four 16-bit counter lanes of one bigint —
 # lane j holds ((v >> j) & 1).  Summing these packed words over all tokens
-# counts, per lane, how many tokens set that bit.  Safe bound: < 32,768
-# distinct tokens per document (beyond that the top lane reaches the
-# bigint sign bit and ANSI mode kills the query with ARITHMETIC_OVERFLOW —
-# a loud failure, never a silently wrong signature; real documents sit
-# orders of magnitude below the bound).
+# counts, per lane, how many tokens set that bit.  EXACT for documents
+# with < 32,768 distinct tokens (orders of magnitude above real docs).
+# Beyond that: a hot top lane hits the bigint sign bit and ANSI mode
+# raises ARITHMETIC_OVERFLOW (loud); a >= 65,536-distinct-token document
+# whose nibbles skew toward a low lane could in principle carry into the
+# neighboring lane silently — if such documents can reach this operator,
+# split them upstream (the extraction pipeline's chunker already bounds
+# span sizes long before this).
 _NIBBLE_LANES = [
     (v & 1) | (((v >> 1) & 1) << 16) | (((v >> 2) & 1) << 32) | (((v >> 3) & 1) << 48)
     for v in range(16)
