@@ -315,6 +315,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_quantiles"] = lambda spark, sf: relational.events_quantiles(
         load(spark, sf, "events")
     )
+    q["events_value_mad"] = lambda spark, sf: relational.events_value_mad(
+        load(spark, sf, "events")
+    )
     q["events_asof_enrich"] = lambda spark, sf: _asof_enrich(spark, sf)
     q["revenue_filter_agg"] = lambda spark, sf: relational.revenue_filter_agg(
         load(spark, sf, "lineitem")
@@ -873,6 +876,11 @@ select event_type,
        round(quantile_cont(value, 0.5), 6) as p50,
        round(quantile_cont(value, 0.9), 6) as p90,
        count(*) as n
+from events group by event_type
+"""
+
+    o["events_value_mad"] = """
+select event_type, round(mad(value), 6) as mad_value, count(*) as n
 from events group by event_type
 """
 

@@ -141,6 +141,40 @@ def events_sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     )
 
 
+def events_value_mad(events: DataFrame) -> DataFrame:
+    """Median absolute deviation of value per event type — the UDAF
+    surface: Spark has no MAD builtin, so this is a genuine case for a
+    vectorized ``pandas_udf`` GROUPED_AGG (Arrow-batched, one call per
+    group — never a row-at-a-time udf()).
+
+    Deterministic despite being floating point: medians are order
+    statistics (sort-based, interpolated the same way by numpy and
+    DuckDB's ``mad``), not order-dependent sums.  At scale the groups
+    must fit in one executor's memory per key — correct for low-cardinality
+    keys like event_type; for high-cardinality keys use an approximate
+    sketch instead."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # Explicit GROUPED_AGG function type: this module uses postponed
+    # annotations (PEP 563), which turns the pd.Series type-hint form into
+    # unresolvable strings at decoration time.
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def _mad(v):
+        med = v.median()
+        return float((v - med).abs().median())
+
+    # Spark disallows mixing pandas and JVM aggregates in one agg(), so
+    # the group size comes from a second GROUPED_AGG.
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def _n(v):
+        return len(v)
+
+    return events.groupBy("event_type").agg(
+        F.round(_mad("value"), 6).alias("mad_value"),
+        _n("value").alias("n"),
+    )
+
+
 def events_quantiles(events: DataFrame) -> DataFrame:
     """Exact interpolated percentiles per event type (sort-based agg)."""
     return events.groupBy("event_type").agg(

@@ -43,6 +43,7 @@ FAST_ORACLED = [
     "events_hourly",
     "events_sessionize",
     "events_quantiles",
+    "events_value_mad",
     "events_asof_enrich",
     "pricing_summary",
     "revenue_by_nation",
