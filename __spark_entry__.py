@@ -258,6 +258,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_embedding"] = lambda spark, sf: dedup.embedding_dup_pairs(
         load(spark, sf, "embeddings"), threshold=0.3
     )
+    q["dedup_embedding_trained"] = lambda spark, sf: dedup.embedding_dup_pairs_trained(
+        load(spark, sf, "embeddings"), threshold=0.3, n_cells=8, iters=2
+    )
     q["dedup_components"] = lambda spark, sf: dedup.connected_components(
         dedup.minhash_lsh_pairs(_docs_with_near_dups(spark, sf), n=2, threshold=0.5)
     )
@@ -317,6 +320,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["events_value_mad"] = lambda spark, sf: relational.events_value_mad(
         load(spark, sf, "events")
+    )
+    q["events_value_mad_sketch"] = lambda spark, sf: relational.events_value_mad_sketch(
+        load(spark, sf, "events"), bin_width=0.05
     )
     q["events_asof_enrich"] = lambda spark, sf: _asof_enrich(spark, sf)
     q["revenue_filter_agg"] = lambda spark, sf: relational.revenue_filter_agg(
@@ -388,6 +394,10 @@ def _asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_ts="ts",
         right_ts="hour_end",
         payload_cols=["prev_hour_avg"],
+        # groupBy makes (event_type, hour_end) unique by construction;
+        # validate=True turns that assumption into an enforced invariant
+        # for one tiny aggregate on the hourly side.
+        validate=True,
     )
     return joined.select(
         "event_id", "event_type", F.round("prev_hour_avg", 6).alias("prev_hour_avg")
@@ -824,6 +834,43 @@ from ranked where rank <= 10
 """
     )
 
+    # Trained-cell embedding dedup: identical codebook chain as
+    # ann_ivf_trained (c0 -> c1 -> c2 -> final assignment af), then the
+    # within-cell pair verify at the dedup threshold.
+    o["dedup_embedding_trained"] = (
+        f"""
+with q as (
+    select vec_id, embedding,
+           [cast(round(x::double * 10000) as bigint) for x in embedding] as qv
+    from embeddings
+),
+c0 as (
+    select cast(row_number() over (order by vec_id) - 1 as int) as cell, qv as cv
+    from q order by vec_id limit 8
+),"""
+        + _assign.format(n=1, m=0, dist=_dist)
+        + ","
+        + _assign.format(n=2, m=1, dist=_dist)
+        + f""",
+af as (
+    select vec_id, embedding, cell from (
+        select x.vec_id, x.embedding, c.cell,
+               row_number() over (
+                   partition by x.vec_id
+                   order by {_dist}, c.cell
+               ) as rn
+        from q x cross join c2 c
+    ) where rn = 1
+),
+scored as (
+    select a.vec_id as a_id, b.vec_id as b_id,
+           round({cos.format(a='a', b='b')}, 6) as cos_sim
+    from af a join af b on a.cell = b.cell and a.vec_id < b.vec_id
+)
+select * from scored where cos_sim >= 0.3
+"""
+    )
+
     o["resume_anti_join"] = """
 select doc_id, lang, n_chars from documents d
 where not exists (
@@ -882,6 +929,42 @@ from events group by event_type
     o["events_value_mad"] = """
 select event_type, round(mad(value), 6) as mad_value, count(*) as n
 from events group by event_type
+"""
+
+    # Histogram-sketch MAD (relational.events_value_mad_sketch): the same
+    # fixed-width binning, lower weighted median, and midpoint deviations —
+    # integer counts + identical IEEE double ops, so exactly reproducible.
+    o["events_value_mad_sketch"] = """
+with hist as (
+    select event_type, cast(floor(value / 0.05) as bigint) as bin, count(*) as cnt
+    from events group by 1, 2
+),
+h as (
+    select *,
+           sum(cnt) over (partition by event_type) as n,
+           sum(cnt) over (partition by event_type order by bin
+                          rows between unbounded preceding and current row) as cum
+    from hist
+),
+med as (
+    select event_type, n, (min(bin) + 0.5) * 0.05 as med
+    from h where 2 * cum >= n group by event_type, n
+),
+dev as (
+    select hist.event_type, med.n,
+           abs((hist.bin + 0.5) * 0.05 - med.med) as dev,
+           sum(cnt) as cnt
+    from hist join med on hist.event_type = med.event_type
+    group by 1, 2, 3
+),
+d as (
+    select *,
+           sum(cnt) over (partition by event_type order by dev
+                          rows between unbounded preceding and current row) as cum
+    from dev
+)
+select event_type, round(min(dev), 6) as mad_value, cast(n as bigint) as n
+from d where 2 * cum >= n group by event_type, n
 """
 
     o["events_asof_enrich"] = """

@@ -31,9 +31,14 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     payload_cols: List[str],
+    validate: bool = False,
 ) -> DataFrame:
     """Enrich ``left`` with the latest ``right`` payload at-or-before
-    ``left_ts`` per ``key``.  Right rows must be unique per (key, ts), and
+    ``left_ts`` per ``key``.  Right rows must be unique per (key, ts) —
+    with duplicates the ``last(...)`` pick at step 3 would be arbitrary
+    within the tied group; ``validate=True`` enforces the precondition
+    with one cheap aggregate on the (small) right side and raises on
+    violation instead of returning a nondeterministic answer.
     ``payload_cols`` must not collide with any left column name (the
     output is left columns + payload columns; a collision would produce
     ambiguous duplicate columns, so it is rejected up front)."""
@@ -43,6 +48,20 @@ def asof_join(
             f"payload_cols {sorted(clash)} collide with left columns; "
             "rename or prefix the right-side payload"
         )
+    if validate:
+        dup = (
+            right.groupBy(key, right_ts)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                f"asof_join: right side has duplicate ({key}, {right_ts}) "
+                "rows — the at-or-before match would be nondeterministic; "
+                "deduplicate or aggregate the right side first"
+            )
     payload = F.struct(*[F.col(c) for c in payload_cols])
     r = right.select(
         F.col(key).alias("_k"),

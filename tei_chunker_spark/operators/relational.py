@@ -141,7 +141,82 @@ def events_sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     )
 
 
-def events_value_mad(events: DataFrame) -> DataFrame:
+def events_value_mad_sketch(events: DataFrame, bin_width: float = 0.05) -> DataFrame:
+    """MAD per event type from a fixed-width HISTOGRAM SKETCH — the
+    high-cardinality-key path the exact UDAF's docstring promises: the only
+    state per key is its (bin, count) histogram (bounded by the value range
+    / bin_width, independent of row count), built by one map-side-partial
+    hash aggregate, so no executor ever holds a group's raw values.
+
+    Approximation contract: every value is represented by its bin midpoint
+    ((bin + 0.5) * w), so each order statistic moves by <= w/2 and the
+    sketch MAD is within w (= bin_width) of the exact LOWER-median MAD —
+    the same convention the sketch uses: the smallest value whose
+    cumulative count reaches half (2*cum >= n), deterministic and
+    engine-portable (no interpolation, no floating-point accumulation
+    ordering: counts are integers, bin arithmetic is identical IEEE ops in
+    Spark and DuckDB, which is what makes this sketch ORACLE-ABLE unlike
+    percentile_approx).  Against an INTERPOLATED-median MAD (numpy /
+    DuckDB mad()) there is an extra data-dependent term of half the gap
+    between the two middle order statistics — interpolation conventions
+    differ on even counts regardless of binning.
+    tests/test_round3_ops.py asserts the w bound against a same-convention
+    exact reference.
+
+    Two narrow aggregates + two tiny per-key windows; the second pass runs
+    over the histogram (not the data), so total data-side cost is ONE scan.
+    """
+    w = float(bin_width)
+    hist = events.groupBy(
+        "event_type", F.floor(F.col("value") / w).alias("bin")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    per_key = Window.partitionBy("event_type")
+    cum_by_bin = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    h = hist.withColumn("n", F.sum("cnt").over(per_key)).withColumn(
+        "cum", F.sum("cnt").over(cum_by_bin)
+    )
+    med = (
+        h.filter(2 * F.col("cum") >= F.col("n"))
+        .groupBy("event_type", "n")
+        .agg(F.min("bin").alias("med_bin"))
+        .select(
+            "event_type",
+            "n",
+            ((F.col("med_bin") + 0.5) * w).alias("med"),
+        )
+    )
+    dev = (
+        hist.join(med, "event_type")
+        .groupBy(
+            "event_type",
+            "n",
+            F.abs((F.col("bin") + 0.5) * w - F.col("med")).alias("dev"),
+        )
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    cum_by_dev = (
+        Window.partitionBy("event_type")
+        .orderBy("dev")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d = dev.withColumn("cum", F.sum("cnt").over(cum_by_dev))
+    return (
+        d.filter(2 * F.col("cum") >= F.col("n"))
+        .groupBy("event_type", "n")
+        .agg(F.min("dev").alias("mad_approx"))
+        .select(
+            "event_type",
+            F.round("mad_approx", 6).alias("mad_value"),
+            F.col("n").cast("long").alias("n"),
+        )
+    )
+
+
+def events_value_mad(events: DataFrame, exact: bool = True) -> DataFrame:
     """Median absolute deviation of value per event type — the UDAF
     surface: Spark has no MAD builtin, so this is a genuine case for a
     vectorized ``pandas_udf`` GROUPED_AGG (Arrow-batched, one call per
@@ -151,8 +226,11 @@ def events_value_mad(events: DataFrame) -> DataFrame:
     statistics (sort-based, interpolated the same way by numpy and
     DuckDB's ``mad``), not order-dependent sums.  At scale the groups
     must fit in one executor's memory per key — correct for low-cardinality
-    keys like event_type; for high-cardinality keys use an approximate
-    sketch instead."""
+    keys like event_type; ``exact=False`` switches to the bounded-error
+    histogram sketch (events_value_mad_sketch) whose per-key state is a
+    histogram, never the raw values — the high-cardinality-safe path."""
+    if not exact:
+        return events_value_mad_sketch(events)
     from pyspark.sql.functions import PandasUDFType, pandas_udf
 
     # Explicit GROUPED_AGG function type: this module uses postponed

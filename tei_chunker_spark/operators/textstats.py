@@ -222,8 +222,24 @@ aggregate(
 def _simhash_from_packed_sql(col: str = "_pk") -> str:
     """SQL expr: fold the packed accumulator (``col``: acc[0..15] = lane
     counters for hex positions 1..16, acc[16] = distinct-token count n)
-    into the 64-bit signature.  Bit 4p+j is set iff 2 * lane(p, j) > n."""
-    return f"""
+    into the 64-bit signature.  Bit 4p+j is set iff 2 * lane(p, j) > n.
+
+    Guarded precondition (round-2 advisory): the packed 16-bit lane
+    counters are exact only below 32,768 distinct tokens — beyond that a
+    low-lane-skewed document could silently carry into the neighboring
+    lane.  The upstream chunker bounds span sizes far below this, but the
+    operator is also called on raw un-chunked corpora, so the bound is now
+    ENFORCED loudly: the signature projection raises USER_RAISED_EXCEPTION
+    (if() is lazily evaluated even in codegen, so the guard costs one
+    element_at comparison per row)."""
+    guard = (
+        f"if(element_at({col}, 17) < 32768, {{sig}}, "
+        f"cast(raise_error(concat('simhash64: ', cast(element_at({col}, 17) as string), "
+        f"' distinct tokens exceeds the 16-bit lane capacity (32768); "
+        f"split the document upstream')) as bigint))"
+    )
+    return guard.format(
+        sig=f"""
 aggregate(
   sequence(0, 15),
   cast(0 as bigint),
@@ -234,6 +250,7 @@ aggregate(
     + if(2 * (shiftright(element_at({col}, p + 1), 48) & 65535) > element_at({col}, 17), shiftleft(1L, 4 * p + 3), 0L)
 )
 """
+    )
 
 
 def simhash64(documents: DataFrame, text_col: str = "text") -> DataFrame:

@@ -89,7 +89,7 @@ def test_user_totals_stateful_stream(spark, tmp_path):
     # one emission per (user, batch); with AvailableNow + a single input
     # file this is one batch -> exactly one row per user
     batch = {
-        r.user_id: (r.n, round(r.s, 6))
+        r.user_id: (r.n, r.s)
         for r in spark.read.parquet(str(src / "part-0.parquet"))
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
@@ -99,4 +99,9 @@ def test_user_totals_stateful_stream(spark, tmp_path):
     assert len(rows) == len(batch)
     for r in rows:
         n, s = batch[r.user_id]
-        assert (r.n_events, round(r.sum_value, 6)) == (n, s)
+        assert r.n_events == n
+        # tolerance, not exact-rounded equality: the streamed accumulator
+        # (pandas pairwise summation) and Spark's sequential partial sums
+        # may differ in the last ulp, and round(x, 6) amplifies an ulp
+        # straddling a .5 rounding boundary into a 1e-6 jump.
+        assert abs(r.sum_value - s) <= 1e-6
