@@ -25,10 +25,88 @@ N_DOCS = 400
 BUCKETS = 8
 
 
+def e2e_job(buckets: int = BUCKETS, bucketed: bool = True):
+    """The exact JobConfig the e2e path runs: iceberg in/out, shuffle
+    elision on the bucket(P, doc_id) layout.  Factored out so the
+    jar-less dry-run test exercises the identical configuration."""
+    from tei_chunker_spark.config import ChunkerConfig, JobConfig
+
+    return JobConfig(
+        chunker=ChunkerConfig(500, 50),
+        shuffle_partitions=buckets,
+        input_format="iceberg",
+        output_format="iceberg",
+        assume_bucketed_input=bucketed,
+    )
+
+
+def find_local_iceberg_jar() -> str | None:
+    """Offline jar resolution: probe the standard local caches so a box
+    that has ever fetched iceberg-spark-runtime runs the real e2e even
+    without network (--packages would try to resolve remotely)."""
+    import glob
+
+    candidates = []
+    for root in ("~/.ivy2", "~/.m2"):
+        candidates += glob.glob(
+            os.path.expanduser(f"{root}/**/iceberg-spark-runtime*.jar"),
+            recursive=True,
+        )
+    try:
+        import pyspark
+
+        candidates += glob.glob(
+            os.path.join(os.path.dirname(pyspark.__file__), "jars", "iceberg-spark-runtime*.jar")
+        )
+    except ImportError:
+        pass
+    return candidates[0] if candidates else None
+
+
+def dry_run(spark, n_docs: int = 200) -> int:
+    """Everything the e2e does EXCEPT the Iceberg catalog calls, runnable
+    with no jar: build the corpus, run the extraction pipeline in the
+    bucketed-input configuration (shuffle elision) against a salt-
+    partitioned parquet stand-in for the bucket(P, doc_id) table layout,
+    assert the elided plan really has no Exchange, and verify output
+    equality with the plain (shuffling) pipeline.  Returns the span count.
+    Catches regressions in this script's pipeline logic between rounds on
+    jar-less boxes; the subprocess e2e covers the catalog half when the
+    runtime jar is resolvable."""
+    from tei_chunker_spark.config import ChunkerConfig, JobConfig
+    from tei_chunker_spark.corpus import corpus_df
+    from tei_chunker_spark.operators.extract import extract_pipeline, salt_column
+
+    job_ice = e2e_job(BUCKETS)
+    # Stand-in for the Iceberg bucket(P, doc_id) layout: pre-partition on
+    # the same salt so assume_bucketed_input's alignment premise holds.
+    # Materialized eagerly so the stand-in's own repartition is not part of
+    # the plan under inspection (on a real cluster the layout lives in the
+    # table, not the query).
+    docs = (
+        corpus_df(spark, n_docs)
+        .repartition(BUCKETS, salt_column(BUCKETS))
+        .localCheckpoint(eager=True)
+    )
+    # Format knobs steer the scan/sink only; the pipeline between them is
+    # what we exercise here (parquet stand-ins for both ends).
+    elided = extract_pipeline(docs, job_ice)
+    plan = elided._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, f"bucketed-input path still shuffles:\n{plan}"
+    plain = extract_pipeline(
+        corpus_df(spark, n_docs),
+        JobConfig(chunker=ChunkerConfig(500, 50), shuffle_partitions=BUCKETS),
+    )
+    n_elided, n_plain = elided.count(), plain.count()
+    diff = elided.exceptAll(plain).count() + plain.exceptAll(elided).count()
+    assert n_elided == n_plain and diff == 0, (n_elided, n_plain, diff)
+    return n_elided
+
+
 def main(warehouse: str) -> int:
     from pyspark.sql import SparkSession
 
-    spark = (
+    builder = (
         SparkSession.builder.appName("iceberg-e2e")
         .master("local[4]")
         .config(
@@ -40,8 +118,11 @@ def main(warehouse: str) -> int:
         .config("spark.sql.catalog.local.warehouse", warehouse)
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    jar = find_local_iceberg_jar()
+    if jar:
+        builder = builder.config("spark.jars", jar)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try:
         spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
@@ -56,13 +137,7 @@ def main(warehouse: str) -> int:
     from tei_chunker_spark.corpus import corpus_df
     from tei_chunker_spark.operators.extract import extract_pipeline
 
-    job = JobConfig(
-        chunker=ChunkerConfig(500, 50),
-        shuffle_partitions=BUCKETS,
-        input_format="iceberg",
-        output_format="iceberg",
-        assume_bucketed_input=True,
-    )
+    job = e2e_job(BUCKETS)
 
     # 1. Write the interleaved corpus as an Iceberg table bucketed on
     #    doc_id — the 10^12-doc layout that lets the pipeline elide its

@@ -16,6 +16,19 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def test_iceberg_dry_run_plan_path(spark):
+    """Jar-less coverage of scripts/iceberg_e2e.py's pipeline logic: the
+    bucketed-input (shuffle-elided) configuration must produce a
+    zero-Exchange plan and output identical to the shuffling pipeline on a
+    salt-partitioned stand-in for the bucket(P, doc_id) Iceberg layout.
+    Catches regressions in the e2e script between rounds even while the
+    catalog half stays jar-gated."""
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    import iceberg_e2e
+
+    assert iceberg_e2e.dry_run(spark, n_docs=120) > 0
+
+
 def test_iceberg_end_to_end(tmp_path):
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "iceberg_e2e.py"),
