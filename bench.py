@@ -12,18 +12,20 @@ partition count) at local[N] and local[4N] (sandbox substitute for N vs
 efficiency = thr(4N) / (4 * thr(N)).  Each level runs in its own
 subprocess (a JVM's master can't change after start).
 
-Robustness protocol (the host's effective speed drifts +/-40% on minute
-scales — shared physical box, invisible to /proc): RUNS interleaved
-(N, 4N) pairs are measured back-to-back, each bracketed by a
-single-process chunker canary.  Host contention is strictly ONE-SIDED
-noise — it can only slow a run down — so the official
-``scaling_efficiency`` uses the per-level MINIMUM wall across all runs
-(best-of-N, the standard estimator under one-sided noise: hyperfine's and
-pyperf's `min` rationale), applied symmetrically to both levels.  Two
-secondary views are recorded: per-pair efficiencies with canary gating
-(pairs whose bracketing canaries disagree by more than CANARY_GATE are
-rejected as contended) and their median.  Results also land in
-BENCH/BASELINE.md.
+Robustness protocol v3 (the host's effective speed drifts +/-40% on
+minute scales — shared physical box, invisible to /proc): RUNS
+interleaved (N, 4N) pairs are measured back-to-back, each bracketed by a
+single-process chunker canary, with a SYMMETRIC 2 measured runs per level
+per pair.  Host contention is strictly ONE-SIDED noise — it can only slow
+a run down — so every statistic is min-based (hyperfine's and pyperf's
+`min` rationale): the official ``scaling_efficiency`` is the ratio of
+per-level MINIMUM walls across all runs; the per-pair efficiencies use
+each level's min WITHIN the pair; the secondary ``gated_pair_median`` is
+the median of per-pair efficiencies over pairs whose bracketing canaries
+agree within CANARY_GATE (a canary jump means the box changed speed
+mid-pair).  Efficiencies have a physical ceiling of 1.0, so headline
+values are clamped there with the raw ratio reported alongside
+(``scaling_efficiency_raw``).  Results also land in BENCH/BASELINE.md.
 
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (default 32), TEI_BENCH_DOCS (default 200000),
@@ -191,51 +193,49 @@ def main() -> None:
         lo = int(os.environ.get("TEI_BENCH_N", "1"))
         hi = 4 * lo
         results = {lo: {"walls": []}, hi: {"walls": []}}
-        hi_first = []  # first measured hi wall per pair (see official stat)
         pair_eff, accepted, canaries = [], [], []
         # Interleave N / 4N children back-to-back; the host's effective
-        # speed drifts on minute scales (shared physical host), so the
-        # efficiency statistic is the MEDIAN OF PER-PAIR EFFICIENCIES over
-        # pairs whose bracketing single-process canaries agree (a canary
-        # jump means the box changed speed MID-PAIR — that pair compares
-        # two different machines and is rejected).
+        # speed drifts on minute scales (shared physical host).  v3
+        # protocol: SYMMETRIC 2 measured runs per level per pair, and the
+        # per-pair efficiency uses each level's MIN wall within the pair —
+        # contention is strictly one-sided noise, so min-within-pair is
+        # the per-pair analogue of the global best-of-N estimator (the v2
+        # per-pair median over 1 lo / 2 hi runs let one contended hi run
+        # drag a pair to 0.47 while the quiet hi run sat unused, which is
+        # why the r2 gated median read 0.717 against a 0.898 official).
+        # Pairs whose bracketing single-process canaries disagree by more
+        # than the gate are rejected (the box changed speed MID-PAIR —
+        # that pair compares two different machines).
         canaries.append(round(single_proc_anchor(n_docs=1200), 1))
         for _ in range(RUNS):
             pair = {}
             for cpus in (lo, hi):
-                # 2 measured runs at 4N: cheap, and the per-pair median
-                # gains stability at the level with shorter walls.
-                r = _run_child(cpus, 2 if cpus == hi else 1)
+                r = _run_child(cpus, 2)
                 results[cpus]["walls"].extend(r["walls"])
                 results[cpus]["docs"] = r["docs"]
                 results[cpus]["spans"] = r["spans"]
-                pair[cpus] = statistics.median(r["walls"])
-                if cpus == hi:
-                    hi_first.append(r["walls"][0])
+                pair[cpus] = min(r["walls"])
             canaries.append(round(single_proc_anchor(n_docs=1200), 1))
             eff = round(pair[lo] / ((hi / lo) * pair[hi]), 3)
             pair_eff.append(eff)
             c0, c1 = canaries[-2], canaries[-1]
             if abs(c1 - c0) / max(c0, c1) <= CANARY_GATE:
                 accepted.append(eff)
-        # Per-level best walls from SYMMETRIC sample sets (one wall per
-        # pair per level: the hi child's FIRST measured run) so that
-        # docs_per_sec_lo/hi and scaling_efficiency satisfy the same
-        # identity efficiency = thr(4N) / (4 * thr(N)).
-        best_wall = {lo: min(results[lo]["walls"]), hi: min(hi_first)}
-        thr = {c: results[c]["docs"] / best_wall[c] for c in results}
         # Official: contention only ever slows a run, so the best observed
-        # wall per level is the consistent estimator of the quiet-host wall.
-        # SYMMETRIC sample counts: one wall per pair per level (the hi
-        # child's FIRST measured run) — min over 10 hi walls vs 5 lo walls
-        # would bias the headline up under one-sided noise.
-        best_eff = round(best_wall[lo] / ((hi / lo) * best_wall[hi]), 3)
-        official = best_eff
+        # wall per level is the consistent estimator of the quiet-host
+        # wall.  Sample counts are symmetric by construction (2 walls per
+        # pair per level).  Physical ceiling is 1.0: super-unity raw
+        # ratios are estimator noise, so the headline is clamped and the
+        # raw value reported alongside (round-2 advisory).
+        best_wall = {c: min(results[c]["walls"]) for c in results}
+        thr = {c: results[c]["docs"] / best_wall[c] for c in results}
+        raw_eff = round(best_wall[lo] / ((hi / lo) * best_wall[hi]), 3)
+        official = min(raw_eff, 1.0)
         # Gated median over ACCEPTED pairs only; None (not a silent
         # fallback to the contaminated pairs) when the gate rejected
         # everything.
         gated_median = (
-            round(statistics.median(accepted), 3) if accepted else None
+            round(min(statistics.median(accepted), 1.0), 3) if accepted else None
         )
         # Always a dedicated peak child: the scaling pair runs at
         # SCALING_PARTS (identical-plan requirement), which is a straggler
@@ -254,6 +254,7 @@ def main() -> None:
             "pair_efficiencies": pair_eff,
             "accepted_pair_efficiencies": accepted,
             "scaling_efficiency": round(official, 3),
+            "scaling_efficiency_raw": raw_eff,
             "gated_pair_median_efficiency": gated_median,
             "canary_docs_per_sec": canaries,
             "canary_gate": CANARY_GATE,
@@ -290,17 +291,20 @@ def write_baseline_md(extraction: dict, timings: dict, lo: int, hi: int) -> None
     if os.path.exists(path):
         with open(path) as fh:
             content = fh.read()
-        marker = "## Run history (v2 protocol: best-of-N minima + canary-gated pairs)"
+        marker = "## Run history (v3 protocol: symmetric 2+2 runs/pair, min-within-pair, clamped)"
         if marker not in content:
             content += (
                 f"\n{marker}\n\n"
                 f"N={lo} -> 4N={hi} cores, identical plan "
-                f"({SCALING_PARTS} shuffle partitions) at both levels. "
+                f"({SCALING_PARTS} shuffle partitions) at both levels, "
+                "2 measured runs per level per pair (symmetric). "
                 "Official = ratio of per-level MINIMUM walls (contention is "
                 "one-sided noise — it only slows runs — so best-of-N "
                 "estimates the quiet host, symmetrically for both levels); "
+                "per-pair efficiencies use min-within-pair walls; "
                 "gated-median = median over pairs whose bracketing canaries "
-                "agree within the gate.\n\n"
+                "agree within the gate.  Efficiencies are clamped at the "
+                "physical ceiling 1.0 (raw ratio alongside).\n\n"
                 "| docs | thr(N) | thr(4N) | pair effs | accepted | official (min-wall) | gated median | peak docs/s | canaries (1-proc docs/s) |\n"
                 "|---|---|---|---|---|---|---|---|---|\n"
             )
@@ -310,7 +314,7 @@ def write_baseline_md(extraction: dict, timings: dict, lo: int, hi: int) -> None
             f"| {extraction['docs_per_sec_hi']} "
             f"| {extraction['pair_efficiencies']} "
             f"| {extraction['accepted_pair_efficiencies']} "
-            f"| {extraction['scaling_efficiency']} "
+            f"| {extraction['scaling_efficiency']} (raw {extraction['scaling_efficiency_raw']}) "
             f"| {extraction['gated_pair_median_efficiency']} "
             f"| {extraction['docs_per_sec_peak']} "
             f"| {extraction['canary_docs_per_sec']} |\n"
