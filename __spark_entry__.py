@@ -303,6 +303,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         ["rank"],
     )
+    q["ann_ivf_multiprobe"] = lambda spark, sf: _cast_long(
+        kmeans.ann_ivf_multiprobe_topk(
+            load(spark, sf, "embeddings"),
+            load(spark, sf, "embeddings").filter(F.col("vec_id") < 5),
+            k=10,
+            n_cells=8,
+            iters=2,
+            n_probe=2,
+        ),
+        ["rank"],
+    )
 
     # -- relational coverage
     q["resume_anti_join"] = lambda spark, sf: relational.resume_anti_join(
@@ -822,6 +833,60 @@ pairs as (
            {cos.format(a='pq', b='pc')} as cos_sim_raw
     from af pq join af pc on pq.cell = pc.cell and pq.vec_id != pc.vec_id
     where pq.vec_id < 5
+),
+ranked as (
+    select query_id, neighbor_id, cell,
+           row_number() over (partition by query_id order by cos_sim_raw desc, neighbor_id asc) as rank,
+           round(cos_sim_raw, 6) as cos_sim
+    from pairs
+)
+select query_id, neighbor_id, cell, cast(rank as bigint) as rank, cos_sim
+from ranked where rank <= 10
+"""
+    )
+
+    # Multi-probe IVF: same trained codebook chain; queries fan out to
+    # their 2 nearest cells (row_number over exact integer distances, ties
+    # to the smaller cell — identical rule to the Spark probe ranking).
+    o["ann_ivf_multiprobe"] = (
+        f"""
+with q as (
+    select vec_id, embedding,
+           [cast(round(x::double * 10000) as bigint) for x in embedding] as qv
+    from embeddings
+),
+c0 as (
+    select cast(row_number() over (order by vec_id) - 1 as int) as cell, qv as cv
+    from q order by vec_id limit 8
+),"""
+        + _assign.format(n=1, m=0, dist=_dist)
+        + ","
+        + _assign.format(n=2, m=1, dist=_dist)
+        + f""",
+af as (
+    select vec_id, embedding, cell from (
+        select x.vec_id, x.embedding, c.cell,
+               row_number() over (
+                   partition by x.vec_id
+                   order by {_dist}, c.cell
+               ) as rn
+        from q x cross join c2 c
+    ) where rn = 1
+),
+probes as (
+    select vec_id as query_id, embedding, cell from (
+        select x.vec_id, x.embedding, c.cell,
+               row_number() over (
+                   partition by x.vec_id
+                   order by {_dist}, c.cell
+               ) as rn
+        from q x cross join c2 c
+    ) where rn <= 2 and vec_id < 5
+),
+pairs as (
+    select p.query_id, a.vec_id as neighbor_id, a.cell,
+           {cos.format(a='p', b='a')} as cos_sim_raw
+    from probes p join af a on p.cell = a.cell and p.query_id != a.vec_id
 ),
 ranked as (
     select query_id, neighbor_id, cell,

@@ -119,6 +119,88 @@ def assign_cells(
     return _with_cell(q, centroids).drop("qv")
 
 
+def _with_probe_cells(
+    q: DataFrame, centroids: Sequence[Sequence[int]], n_probe: int
+) -> DataFrame:
+    """(…, qv) -> one row per (input row, probed cell): the ``n_probe``
+    nearest centroids by exact integer L2^2, ties to the smaller cell id
+    (identical to the single-cell rule, extended to a prefix).  The
+    (distance, cell) structs sort lexicographically, so array_sort IS the
+    tie-broken ranking; all per-row, broadcast centroids, no shuffle."""
+    dists = (
+        f"transform({_cents_literal(centroids)}, cv -> "
+        "aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), 0L, (a, v) -> a + v))"
+    )
+    probe_expr = (
+        f"slice(array_sort(transform({dists}, (d, i) -> named_struct('d', d, 'c', i))), "
+        f"1, {int(n_probe)})"
+    )
+    exploded = q.select(
+        "*", F.explode(F.array(F.expr(probe_expr))).alias("_pc")
+    ).select(*q.columns, F.posexplode("_pc").alias("probe_rank", "_s"))
+    return exploded.select(
+        *q.columns, "probe_rank", F.col("_s.c").cast("int").alias("cell")
+    )
+
+
+def ann_ivf_multiprobe_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 8,
+    iters: int = 2,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF top-k probing the query's ``n_probe`` nearest trained cells —
+    the recall knob of a production IVF deployment: a single-probe search
+    misses neighbors that landed just across a cell boundary; probing p
+    cells multiplies the scanned fraction by ~p/n_cells while recovering
+    most boundary losses (tests assert recall(multiprobe) >=
+    recall(single-probe) vs brute force).
+
+    Physical shape is unchanged from the single-probe path: corpus rows
+    keep their ONE stored cell (the partition key at 100 TB), only the
+    tiny query side fans out x n_probe before the broadcast — so the scan
+    prunes to exactly the probed cells' files and the corpus never
+    shuffles."""
+    cents = train_ivf_centroids(embeddings, n_cells=n_cells, iters=iters)
+    corpus = assign_cells(
+        embeddings.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+        ),
+        cents,
+        vec_col="c_emb",
+    )
+    probes = _with_probe_cells(
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            quantized("embedding").alias("qv"),
+        ),
+        cents,
+        n_probe,
+    ).drop("qv")
+    pairs = (
+        corpus.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim_raw", cosine(F.col("q_emb"), F.col("c_emb")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim_raw").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cell",
+            "rank",
+            F.round(F.col("cos_sim_raw"), 6).alias("cos_sim"),
+        )
+    )
+
+
 def ann_ivf_trained_topk(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -87,6 +87,40 @@ def test_simhash_lane_guard_raises_beyond_capacity(spark):
     assert len(simhash64(ok).collect()) == 1
 
 
+def test_multiprobe_recall_at_least_single_probe(spark):
+    """Probing the 2 nearest trained cells must recover at least the
+    single-probe neighbors (superset of scanned candidates) and close
+    some of the gap to exact brute force."""
+    from tei_chunker_spark.operators.kmeans import (
+        ann_ivf_multiprobe_topk,
+        ann_ivf_trained_topk,
+    )
+    from tei_chunker_spark.operators.similarity import ann_bruteforce_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 5)
+
+    def topk(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return out
+
+    exact = topk(ann_bruteforce_topk(emb, qs, k=10))
+    single = topk(ann_ivf_trained_topk(emb, qs, k=10, n_cells=8, iters=2))
+    multi = topk(ann_ivf_multiprobe_topk(emb, qs, k=10, n_cells=8, iters=2, n_probe=2))
+
+    def recall(approx):
+        hits = sum(len(approx.get(q, set()) & exact[q]) for q in exact)
+        total = sum(len(exact[q]) for q in exact)
+        return hits / total
+
+    assert recall(multi) >= recall(single)
+    # n_probe = n_cells degenerates to exact brute force over all cells
+    allp = topk(ann_ivf_multiprobe_topk(emb, qs, k=10, n_cells=8, iters=2, n_probe=8))
+    assert allp == exact
+
+
 def _find_oversized_doc_id(lo: int = 0, hi: int = 2000) -> str:
     """Scan the deterministic corpus for an oversized-tail document
     (~20-40x median length) — the skew case the salted shuffle defuses."""
