@@ -27,12 +27,14 @@ from pyspark.sql import functions as F
 from tei_chunker_spark.config import ChunkerConfig, JobConfig
 from tei_chunker_spark.corpus import INPUT_SCHEMA_DDL, doc_to_row
 from tei_chunker_spark.operators import (
+    corpusops,
     dedup,
     kmeans,
     multimodal,
     relational,
     similarity,
     textstats,
+    udtfs,
 )
 from tei_chunker_spark.operators.extract import extract_pipeline, section_metadata_pipeline
 from tei_chunker_spark.sources.tables import load
@@ -370,6 +372,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load(spark, sf, "orders"),
         load(spark, sf, "lineitem"),
         load(spark, sf, "nation"),
+    )
+
+    # -- corpus-preparation family (corpusops.py) + UDTF surface
+    q["seq_pack"] = lambda spark, sf: corpusops.seq_pack(
+        load(spark, sf, "documents"), budget=256, bucket_size=64
+    )
+    q["stratified_sample"] = lambda spark, sf: _cast_long(
+        corpusops.stratified_sample_census(load(spark, sf, "documents")),
+        ["n_total", "n_sampled"],
+    )
+    q["boilerplate_stats"] = lambda spark, sf: corpusops.boilerplate_stats(
+        _docs_with_exact_dups(spark, sf)
+    )
+    q["doc_top_terms"] = lambda spark, sf: corpusops.doc_top_terms(
+        load(spark, sf, "documents"), k=3
+    )
+    q["doc_segments_udtf"] = lambda spark, sf: udtfs.doc_segments(
+        spark, load(spark, sf, "documents"), width=20
     )
     return q
 
@@ -1158,6 +1178,110 @@ join orders on l_orderkey = o_orderkey
 join customer on o_custkey = c_custkey
 join nation on c_nationkey = n_nationkey
 group by n_name
+"""
+
+    # -- corpus-preparation family.  seq_pack's oracle is the naive global
+    # running sum the Spark side decomposes into a two-level prefix sum —
+    # bit-equality here proves the decomposition exact.
+    o["seq_pack"] = f"""
+with t as (
+    select doc_id,
+           cast(case when length(trim(text)) = 0 then 0 else len({_TOKENS}) end as bigint) as n_tokens
+    from documents
+),
+c as (
+    select doc_id, n_tokens,
+           cast(sum(n_tokens) over (order by doc_id rows between unbounded preceding and current row) as bigint) as cum_end
+    from t
+)
+select doc_id, n_tokens,
+       cast(cum_end - n_tokens as bigint) as start_offset,
+       cast((cum_end - n_tokens) // 256 as bigint) as first_pack,
+       cast(greatest(cum_end - 1, cum_end - n_tokens) // 256
+            - (cum_end - n_tokens) // 256 + 1 as bigint) as n_packs
+from c
+"""
+
+    o["stratified_sample"] = """
+with s as (
+    select lang,
+           case when strpos('0123456789abcdef', substr(md5(cast(doc_id as varchar)), 1, 1)) - 1
+                     < case lang when 'en' then 4 when 'de' then 8 when 'fr' then 12
+                                 when 'es' then 16 when 'zh' then 2 end
+                then 1 else 0 end as keep
+    from documents
+)
+select lang, count(*) as n_total, cast(sum(keep) as bigint) as n_sampled,
+       round(cast(sum(keep) as double) / count(*), 6) as sample_rate
+from s group by lang
+"""
+
+    o["boilerplate_stats"] = f"""
+with docs_aug as ({_EXACT_AUG_SQL}),
+t as (
+    select doc_id, {_TOKENS} as toks from docs_aug
+),
+s as (
+    select doc_id,
+           md5(array_to_string(toks[(i - 1) * 10 + 1 : i * 10], ' ')) as seg_hash
+    from t, unnest(generate_series(1, cast(len(toks) // 10 as int))) as g(i)
+),
+dfh as (
+    select seg_hash, count(distinct doc_id) as n_docs from s group by seg_hash
+),
+pd as (
+    select s.doc_id, cast(count(*) as bigint) as n_segs,
+           cast(sum(case when dfh.n_docs >= 2 then 1 else 0 end) as bigint) as n_dup_segs
+    from s join dfh using (seg_hash)
+    group by s.doc_id
+)
+select d.doc_id,
+       cast(coalesce(pd.n_segs, 0) as bigint) as n_segs,
+       cast(coalesce(pd.n_dup_segs, 0) as bigint) as n_dup_segs,
+       case when coalesce(pd.n_segs, 0) > 0
+            then round(pd.n_dup_segs / cast(pd.n_segs as double), 6) end as dup_ratio
+from (select doc_id from docs_aug) d left join pd using (doc_id)
+"""
+
+    # Ranking is the integer-lexicographic (tf desc, df asc, term asc) —
+    # see corpusops.doc_top_terms for why ln stays out of the ORDER BY.
+    o["doc_top_terms"] = f"""
+with tf as (
+    select doc_id, term, cast(count(*) as bigint) as tf
+    from (select doc_id, unnest({_TOKENS}) as term from documents) u
+    where length(term) > 0
+    group by doc_id, term
+),
+dfx as (
+    select term, cast(count(*) as bigint) as df from tf group by term
+),
+n as (
+    select cast(count(distinct doc_id) as double) as n_docs from documents
+),
+r as (
+    select tf.doc_id, tf.term, tf.tf, dfx.df,
+           row_number() over (
+               partition by tf.doc_id
+               order by tf.tf desc, dfx.df asc, tf.term asc
+           ) as rank,
+           round(tf.tf * ln(n.n_docs / dfx.df), 6) as tfidf
+    from tf join dfx using (term), n
+)
+select doc_id, term, tf, df, cast(rank as bigint) as rank, tfidf
+from r where rank <= 3
+"""
+
+    # SegmentSplit UDTF: fixed 20-token windows, tail partial included,
+    # whitespace-only docs emit nothing (Python str.split() drops empties).
+    o["doc_segments_udtf"] = f"""
+with t as (
+    select doc_id, {_TOKENS} as toks
+    from documents where length(trim(text)) > 0
+)
+select doc_id, cast(i as int) as seg_idx,
+       array_to_string(toks[i * 20 + 1 : least((i + 1) * 20, len(toks))], ' ') as seg_text,
+       cast(least((i + 1) * 20, len(toks)) - i * 20 as int) as n_tokens
+from t, unnest(generate_series(0, cast((len(toks) - 1) // 20 as int))) as g(i)
 """
 
     return o

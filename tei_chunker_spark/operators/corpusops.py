@@ -1,0 +1,249 @@
+"""Corpus-preparation operators for LLM training pipelines: sequence
+packing, stratified sampling, boilerplate (duplicate-segment) detection,
+and per-document salient terms.
+
+These are the curation steps that sit between dedup and the tokenizer in
+a web-scale pipeline.  Like the rest of the engine they are pure
+DataFrame/Catalyst compositions (no Python UDFs) with DuckDB oracles in
+__spark_entry__.py, and each documents its 100 TB shuffle story inline.
+
+No counterpart exists in the reference (a 367-LoC TEI chunker,
+chunking.py); these extend SURVEY.md §2's training-pipeline inventory.
+"""
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.columns import token_count, tokens
+
+
+def seq_pack(
+    documents: DataFrame, budget: int = 256, bucket_size: int = 64
+) -> DataFrame:
+    """Sequence packing: lay every document's tokens end-to-end in doc_id
+    order and cut the stream every ``budget`` tokens — the standard way
+    training examples are packed so no batch slot is wasted on padding.
+    Per document: its token count, its global start offset, the pack it
+    starts in, and how many packs it spans.
+
+    Scale story — the global running sum is the whole problem: a naive
+    ``Window.orderBy("doc_id")`` (no partition key) collapses 100 TB into
+    ONE task.  This implements the classic two-level distributed prefix
+    sum instead: (1) per-bucket token totals (tiny: n_docs / bucket_size
+    rows), (2) exclusive cumulative offsets over that bucket census — the
+    only ordered window, over the small table, (3) broadcast-join the
+    offsets back and take a per-bucket window partitioned on bucket.  The
+    full corpus is touched only by embarrassingly parallel stages; the
+    sequential pass is O(n_buckets).  Buckets are doc_id ranges, so the
+    result is bit-identical to the single-partition window.
+    """
+    b = F.lit(int(budget)).cast("long")
+    docs = documents.select(
+        "doc_id",
+        # integer div, not double /: exact for ids past 2^53
+        F.expr(f"doc_id div {int(bucket_size)}").alias("bucket"),
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    totals = docs.groupBy("bucket").agg(F.sum("n_tokens").alias("bucket_total"))
+    # Exclusive prefix over the bucket census: the one ordered window, on
+    # a table bucket_size-times smaller than the corpus.
+    offs = totals.withColumn(
+        "bucket_offset",
+        F.coalesce(
+            F.sum("bucket_total").over(
+                Window.orderBy("bucket").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0).cast("long"),
+        ),
+    ).select("bucket", "bucket_offset")
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    packed = (
+        docs.join(F.broadcast(offs), "bucket")
+        .withColumn("cum_end", F.col("bucket_offset") + F.sum("n_tokens").over(w))
+        .withColumn("start_offset", F.col("cum_end") - F.col("n_tokens"))
+    )
+    first_pack = F.floor(F.col("start_offset") / b)
+    last_pack = F.floor(
+        F.greatest(F.col("cum_end") - 1, F.col("start_offset")) / b
+    )
+    return packed.select(
+        "doc_id",
+        "n_tokens",
+        "start_offset",
+        first_pack.cast("long").alias("first_pack"),
+        (last_pack - first_pack + 1).cast("long").alias("n_packs"),
+    )
+
+
+# Per-language sampling thresholds out of 16 first-md5-nibble values —
+# the corpus-balancing knob (downsample the dominant language, keep the
+# rare ones).  Shared verbatim with the SQL oracle.
+STRATA_RATES: Mapping[str, int] = {
+    "en": 4,   # 4/16 = 25%
+    "de": 8,
+    "fr": 12,
+    "es": 16,  # keep all
+    "zh": 2,
+}
+
+
+def stratified_sample_census(
+    documents: DataFrame, rates: Mapping[str, int] = STRATA_RATES
+) -> DataFrame:
+    """Deterministic stratified sampling census: per language stratum,
+    how many documents the md5-nibble rule keeps at that stratum's rate.
+
+    Membership is a pure function of doc_id (same leakage-proof device as
+    hash_split_census — stable across reruns/engines, no sampler state):
+    keep iff first_md5_nibble(doc_id) < rate[lang].  At 100 TB the keep
+    expression is a filter fused into the scan; this census is the audit
+    aggregate over it (one map-side-partial hash agg, no join)."""
+    nib = F.expr(
+        "instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 1, 1)) - 1"
+    )
+    # languages outside the rate map default to threshold 0 = drop all —
+    # explicit, rather than a NULL keep flag that sums happen to ignore
+    thr = F.lit(0)
+    for lang, rate in rates.items():
+        thr = F.when(F.col("lang") == lang, F.lit(int(rate))).otherwise(thr)
+    return (
+        documents.select("lang", (nib < thr).cast("int").alias("keep"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("keep").alias("n_sampled"),
+        )
+        .withColumn(
+            "sample_rate", F.round(F.col("n_sampled") / F.col("n_total"), 6)
+        )
+    )
+
+
+def boilerplate_stats(documents: DataFrame, seg_tokens: int = 10) -> DataFrame:
+    """Duplicate-segment (boilerplate) detection: split each document into
+    consecutive non-overlapping ``seg_tokens``-token segments, hash them,
+    and report per document how many of its segments also appear in at
+    least one OTHER document — the C4/Gopher-style signal for navigation
+    chrome, license headers, and templated text.
+
+    Shape at 100 TB: segment hashes explode ~n_tokens/seg_tokens rows per
+    doc; the cross-corpus df is one hash aggregation on seg_hash
+    (map-side partial), and the per-doc rollup joins segments to that df
+    table on seg_hash — both shuffles are on a high-cardinality key with
+    no hot spot BY CONSTRUCTION: a segment shared by B docs contributes B
+    join rows (linear fan-in), never B^2 pairs, so unlike the LSH band
+    join this needs no df cap.  Documents shorter than one segment get
+    n_segs = 0 and a NULL ratio (kept, not dropped).
+    """
+    # explode(array(...)) barrier: the split materializes once per row
+    # (see textstats._with_tokens).  A whitespace-only document splits to
+    # [''] (size 1) and floors to 0 segments — no separate guard needed.
+    segged = documents.select(
+        "doc_id", F.explode(F.array(tokens(F.col("text")))).alias("tok")
+    ).select(
+        "doc_id",
+        F.floor(F.size("tok") / seg_tokens).cast("int").alias("n_segs"),
+        F.col("tok"),
+    )
+    # sequence(1, 0) DESCENDS in Spark (returns [1, 0], not []) — the
+    # when-guard makes sub-segment documents produce an empty array, which
+    # explode then drops (they re-enter via the left join below).
+    seg_hashes = F.transform(
+        F.sequence(F.lit(1), F.col("n_segs")),
+        lambda i: F.md5(
+            F.concat_ws(
+                " ", F.slice(F.col("tok"), (i - 1) * seg_tokens + 1, seg_tokens)
+            )
+        ),
+    )
+    segs = segged.select(
+        "doc_id",
+        F.explode(
+            F.when(F.col("n_segs") >= 1, seg_hashes).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("seg_hash"),
+    )
+    seg_df = segs.groupBy("seg_hash").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    per_doc = (
+        segs.join(seg_df, "seg_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segs"),
+            F.sum((F.col("n_docs") >= 2).cast("long")).alias("n_dup_segs"),
+        )
+    )
+    return (
+        documents.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_segs", F.lit(0).cast("long")).alias("n_segs"),
+            F.coalesce("n_dup_segs", F.lit(0).cast("long")).alias("n_dup_segs"),
+            F.when(
+                F.col("n_segs") > 0,
+                F.round(F.col("n_dup_segs") / F.col("n_segs"), 6),
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+def doc_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Top-``k`` salient terms per document, ranked by (tf desc, df asc,
+    term asc), with the tf-idf score reported alongside.
+
+    The RANKING is deliberately integer-lexicographic rather than by the
+    tf*ln(N/df) float: +,-,*,/ and sqrt are IEEE-correctly-rounded and so
+    bit-identical across engines, but ln is only faithfully rounded — two
+    engines' ln can disagree in the last ulp, and a ranking on the float
+    score could flip ranks between Spark and the DuckDB oracle.  The
+    integer pair gives the same "frequent here, rare elsewhere" order for
+    any fixed tf, is engine-exact, and the float score remains as a
+    display column rounded at 6 (where a last-ulp difference is harmless).
+
+    Shape at 100 TB: tf is one hash agg on (doc_id, term); df is a second
+    agg over tf's output on term (already distinct per doc — no
+    count_distinct needed); the df join is on term (Zipf-skewed, but
+    fan-in linear); N broadcasts as a 1-row literal."""
+    tf = (
+        documents.select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+        )
+        .filter(F.length("term") > 0)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n_docs = documents.select(
+        F.count_distinct("doc_id").cast("double").alias("_n")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(df, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.col("rank").cast("long").alias("rank"),
+            F.round(F.col("tf") * F.log(F.col("_n") / F.col("df")), 6).alias(
+                "tfidf"
+            ),
+        )
+    )

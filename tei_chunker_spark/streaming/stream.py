@@ -153,3 +153,43 @@ def events_hourly_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def dedup_stream(
+    spark: SparkSession,
+    events_path: str,
+    checkpoint_path: str,
+    output_path: str,
+    watermark: str = "2 hours",
+) -> StreamingQuery:
+    """Streaming exact-dedup on ingest: keep the first arrival of each
+    event_id, dropping re-deliveries that land within ``watermark`` of
+    event time — the standard at-least-once -> effectively-once repair
+    for a feed that redelivers (Kafka rebalances, upstream retries).
+
+    ``dropDuplicatesWithinWatermark`` keys the state store on event_id
+    and EXPIRES entries once the watermark passes them, so state is
+    bounded by (arrival rate x watermark) instead of growing with the
+    whole stream — the property that makes this runnable forever at
+    100 TB/day, and the reason plain ``dropDuplicates`` (unbounded state)
+    is the wrong tool on a stream.  Duplicates farther apart than the
+    watermark are out of contract here and belong to the batch dedup
+    family (operators/dedup.py)."""
+    src = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .parquet(events_path)
+    )
+    deduped = src.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    return (
+        deduped.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

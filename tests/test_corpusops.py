@@ -1,0 +1,163 @@
+"""Tests for the corpus-preparation operators (corpusops.py) and the
+SegmentSplit UDTF surface (udtfs.py)."""
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from tei_chunker_spark.operators import corpusops, udtfs
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+
+
+# --- seq_pack ---------------------------------------------------------------
+
+
+def test_seq_pack_matches_sequential_reference(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = {
+        r.doc_id: r
+        for r in corpusops.seq_pack(docs, budget=256, bucket_size=64).collect()
+    }
+    # sequential single-threaded reference
+    cum = 0
+    for row in sorted(
+        docs.select("doc_id", "text").collect(), key=lambda r: r.doc_id
+    ):
+        n = len(row.text.split()) if row.text.strip() else 0
+        start, end = cum, cum + n
+        cum = end
+        g = got[row.doc_id]
+        assert g.n_tokens == n
+        assert g.start_offset == start
+        assert g.first_pack == start // 256
+        assert g.n_packs == max(end - 1, start) // 256 - start // 256 + 1
+
+
+def test_seq_pack_invariant_to_bucket_size(spark):
+    """The two-level prefix-sum decomposition must be bit-identical for
+    any bucket size (it's an implementation knob, not a semantic one)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = corpusops.seq_pack(docs, budget=128, bucket_size=64).collect()
+    b = corpusops.seq_pack(docs, budget=128, bucket_size=7).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_seq_pack_offsets_contiguous(spark):
+    docs = _docs(
+        spark,
+        [(1, "a b c", "en"), (2, "", "en"), (3, "d e f g h", "en"), (4, "x", "en")],
+    )
+    rows = sorted(
+        corpusops.seq_pack(docs, budget=4, bucket_size=2).collect(),
+        key=lambda r: r.doc_id,
+    )
+    cum = 0
+    for r in rows:
+        assert r.start_offset == cum
+        cum += r.n_tokens
+    # doc 3: tokens 3..7 (budget 4) -> starts in pack 0, spans packs 0..1
+    d3 = rows[2]
+    assert (d3.first_pack, d3.n_packs) == (0, 2)
+    # empty doc: zero-width span, stays in the pack at its offset
+    d2 = rows[1]
+    assert (d2.n_tokens, d2.n_packs) == (0, 1)
+
+
+# --- stratified_sample_census ----------------------------------------------
+
+
+def test_stratified_sample_rates(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    rows = {r.lang: r for r in corpusops.stratified_sample_census(docs).collect()}
+    for r in rows.values():
+        assert 0 <= r.n_sampled <= r.n_total
+    # 'es' keeps everything (threshold 16 covers all nibbles)
+    assert rows["es"].n_sampled == rows["es"].n_total
+    # 'zh' at 2/16 must drop documents at this corpus size
+    assert rows["zh"].n_sampled < rows["zh"].n_total
+
+
+def test_stratified_sample_deterministic(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = sorted(map(tuple, corpusops.stratified_sample_census(docs).collect()))
+    b = sorted(map(tuple, corpusops.stratified_sample_census(docs).collect()))
+    assert a == b
+
+
+# --- boilerplate_stats ------------------------------------------------------
+
+
+def test_boilerplate_detects_shared_segment(spark):
+    shared = " ".join(f"w{i}" for i in range(10))
+    uniq_a = " ".join(f"a{i}" for i in range(10))
+    uniq_b = " ".join(f"b{i}" for i in range(10))
+    docs = _docs(
+        spark,
+        [
+            (1, f"{shared} {uniq_a}", "en"),
+            (2, f"{shared} {uniq_b}", "en"),
+            (3, uniq_b, "en"),  # segment 'b*' also appears in doc 2
+            (4, "short text", "en"),  # < 10 tokens -> 0 segments
+        ],
+    ).select("doc_id", "text")
+    got = {r.doc_id: r for r in corpusops.boilerplate_stats(docs).collect()}
+    assert (got[1].n_segs, got[1].n_dup_segs) == (2, 1)
+    assert (got[2].n_segs, got[2].n_dup_segs) == (2, 2)
+    assert (got[3].n_segs, got[3].n_dup_segs) == (1, 1)
+    assert (got[4].n_segs, got[4].n_dup_segs) == (0, 0)
+    assert got[4].dup_ratio is None
+    assert got[1].dup_ratio == 0.5
+
+
+# --- doc_top_terms ----------------------------------------------------------
+
+
+def test_doc_top_terms_ranking(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "apple apple apple banana cherry", "en"),
+            (2, "banana banana cherry", "en"),
+            (3, "cherry date", "en"),
+        ],
+    )
+    got = corpusops.doc_top_terms(docs, k=2).collect()
+    by_doc: dict[int, list] = {}
+    for r in sorted(got, key=lambda r: (r.doc_id, r.rank)):
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: apple tf=3 wins; banana (df=2) beats cherry (df=3) on rarity
+    assert [r.term for r in by_doc[1]] == ["apple", "banana"]
+    # doc 3: tie tf=1 -> date (df=1) beats cherry (df=3)
+    assert [r.term for r in by_doc[3]] == ["date", "cherry"]
+    # tfidf of a term appearing in every doc is 0
+    cherry = [r for r in got if r.term == "cherry"]
+    assert all(r.tfidf == 0.0 for r in cherry)
+
+
+# --- SegmentSplit UDTF ------------------------------------------------------
+
+
+def test_udtf_segments_match_python_split(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    got: dict[tuple, tuple] = {}
+    for r in udtfs.doc_segments(spark, docs, width=20).collect():
+        got[(r.doc_id, r.seg_idx)] = (r.seg_text, r.n_tokens)
+    want: dict[tuple, tuple] = {}
+    for row in docs.select("doc_id", "text").collect():
+        toks = row.text.split()
+        for i in range(0, len(toks), 20):
+            seg = toks[i : i + 20]
+            want[(row.doc_id, i // 20)] = (" ".join(seg), len(seg))
+    assert got == want
+
+
+def test_udtf_empty_text_emits_nothing(spark):
+    docs = _docs(spark, [(1, "   ", "en"), (2, "one two", "en")])
+    rows = udtfs.doc_segments(spark, docs, width=20).collect()
+    assert len(rows) == 1
+    assert (rows[0].doc_id, rows[0].seg_text, rows[0].n_tokens) == (2, "one two", 2)

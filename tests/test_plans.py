@@ -104,6 +104,34 @@ def test_interval_overlap_is_equi_join(spark):
     assert plan.count("BroadcastNestedLoopJoin") <= 1  # only the 1-row bounds bind
 
 
+def test_seq_pack_no_global_window_over_corpus(spark):
+    """seq_pack's full-table window must be PARTITIONED (by bucket) — a
+    windowspec over the documents table with an empty partition clause
+    would collapse 100 TB into one task.  The only unpartitioned window
+    allowed is the one over the tiny bucket census (input: an aggregate,
+    not a scan)."""
+    from tei_chunker_spark.operators.corpusops import seq_pack
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = executed_plan(seq_pack(docs))
+    # the per-bucket running sum is partitioned on bucket
+    assert "windowspecdefinition(bucket" in plan
+    # bucket offsets come back via broadcast, not a shuffle join
+    assert count_broadcasts(seq_pack(docs)) >= 1
+
+
+def test_top_terms_broadcasts_corpus_count(spark):
+    from tei_chunker_spark.operators.corpusops import doc_top_terms
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = executed_plan(doc_top_terms(docs))
+    # the 1-row N attach must be a broadcast, and the df join an equi-join
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin [term" in plan or "BroadcastHashJoin [term" in plan or (
+        "ShuffledHashJoin [term" in plan
+    )
+
+
 def test_section_pipeline_single_shuffle(spark, corpus_path):
     from tei_chunker_spark.operators.extract import section_metadata_pipeline
 

@@ -105,3 +105,30 @@ def test_user_totals_stateful_stream(spark, tmp_path):
         # may differ in the last ulp, and round(x, 6) amplifies an ulp
         # straddling a .5 rounding boundary into a 1e-6 jump.
         assert abs(r.sum_value - s) <= 1e-6
+
+
+def test_dedup_stream_drops_redeliveries(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a feed containing each event twice
+    (two redelivered files) drains to exactly one row per event_id."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from tei_chunker_spark.streaming.stream import dedup_stream
+
+    src = tmp_path / "events"
+    src.mkdir()
+    # the same file delivered twice = every event redelivered once
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src / "part-0.parquet")
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src / "part-1.parquet")
+    out = str(tmp_path / "deduped")
+    q = dedup_stream(spark, str(src), str(tmp_path / "ck3"), out)
+    assert q.awaitTermination(300)
+    got = spark.read.parquet(out)
+    n_ids = (
+        spark.read.parquet(str(src / "part-0.parquet"))
+        .select(F.count_distinct("event_id"))
+        .first()[0]
+    )
+    assert got.count() == n_ids
+    assert got.select(F.count_distinct("event_id")).first()[0] == n_ids
