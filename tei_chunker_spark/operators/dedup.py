@@ -301,27 +301,33 @@ def minhash_lsh_pairs(
     sig = minhash_signatures_from(sh)
     # F.concat (not concat_ws): NULL-propagating like SQL ||, so a doc with
     # no shingles gets a NULL band and drops out of the equi-join cleanly.
-    bands = sig.select(
+    # Both bands go through ONE posting table keyed (band_idx, band_val)
+    # and ONE compound-key self-join — same shuffle volume as the former
+    # two per-band joins (2 posting rows per doc either way) but a single
+    # exchange + join stage instead of two joins unioned (the simhash
+    # banding already used this shape; this aligns the LSH path with it).
+    posts = sig.select(
         "doc_id",
-        F.concat("mh0", F.lit("|"), "mh1").alias("band0"),
-        F.concat("mh2", F.lit("|"), "mh3").alias("band1"),
-    )
-    cands = None
-    for band in ("band0", "band1"):
-        p = _capped_band_postings(
-            bands.select("doc_id", band), [band], max_band_df
-        )
-        x = p.alias("x")
-        y = p.alias("y")
-        c = (
-            x.join(y, F.col(f"x.{band}") == F.col(f"y.{band}"))
-            .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-            .select(
-                F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id")
+        F.posexplode(
+            F.array(
+                F.concat("mh0", F.lit("|"), "mh1"),
+                F.concat("mh2", F.lit("|"), "mh3"),
             )
+        ).alias("band_idx", "band_val"),
+    ).filter(F.col("band_val").isNotNull())
+    posts = _capped_band_postings(posts, ["band_idx", "band_val"], max_band_df)
+    x = posts.alias("x")
+    y = posts.alias("y")
+    cands = (
+        x.join(
+            y,
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_val") == F.col("y.band_val")),
         )
-        cands = c if cands is None else cands.unionByName(c)
-    cands = cands.distinct()
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id"))
+        .distinct()
+    )
     pairs = jaccard_pairs(sh, cands, threshold)
     if collapse_exact:
         pairs = _expand_rep_pairs(
