@@ -346,6 +346,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load(spark, sf, "orders"),
         load(spark, sf, "lineitem"),
     )
+    q["events_json_stats"] = lambda spark, sf: relational.events_json_stats(
+        load(spark, sf, "events")
+    )
+    q["events_session_native"] = lambda spark, sf: relational.events_session_native(
+        load(spark, sf, "events")
+    )
     q["events_sessionize"] = lambda spark, sf: relational.events_sessionize(
         load(spark, sf, "events")
     )
@@ -981,6 +987,42 @@ select lang, doc_id, n_chars, cast(rnk as bigint) as rnk from r where rnk <= 3
 select date_trunc('hour', ts) as hour, event_type,
        count(*) as n_events, round(cast(sum(cast(value as decimal(25,10))) as double), 6) as sum_value
 from events group by date_trunc('hour', ts), event_type
+"""
+
+    o["events_json_stats"] = """
+with x as (
+    select event_type, cast(json_extract(props, '$.k') as bigint) as k from events
+)
+select event_type, count(*) as n_events,
+       cast(sum(case when k is null then 1 else 0 end) as bigint) as n_bad,
+       cast(sum(k) as bigint) as sum_k,
+       cast(min(k) as bigint) as min_k,
+       cast(max(k) as bigint) as max_k
+from x group by event_type
+"""
+
+    # Native session_window mirror: split on gap STRICTLY > 30 min
+    # (exact-gap events merge — probed in relational.events_session_native),
+    # end = last event + gap.
+    o["events_session_native"] = """
+with e as (
+    select *, lag(ts) over (partition by user_id order by ts, event_id) as prev_ts from events
+),
+f as (
+    select *, case when prev_ts is null or epoch(ts) - epoch(prev_ts) > 1800 then 1 else 0 end as flag from e
+),
+g as (
+    select *, sum(flag) over (
+        partition by user_id order by ts, event_id
+        rows between unbounded preceding and current row
+    ) as sid from f
+)
+select user_id,
+       min(ts) as session_start,
+       max(ts) + interval 30 minute as session_end,
+       count(*) as n_events,
+       round(cast(sum(cast(value as decimal(25,10))) as double), 6) as session_value
+from g group by user_id, sid
 """
 
     o["events_sessionize"] = """

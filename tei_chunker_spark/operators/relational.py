@@ -476,3 +476,57 @@ def resume_anti_join(documents: DataFrame) -> DataFrame:
         documents.join(F.broadcast(done), "doc_id", "left_anti")
         .select("doc_id", "lang", "n_chars")
     )
+
+
+def events_json_stats(events: DataFrame) -> DataFrame:
+    """Typed JSON extraction + aggregation over the semi-structured
+    ``props`` column: parse with a SCHEMA (``from_json``, JVM-side Jackson
+    inside codegen — never a Python json.loads UDF), then one hash agg.
+
+    At 100 TB the parse cost is the story: from_json with an explicit
+    narrow schema materializes only the requested field (no generic JSON
+    tree), stays in the scan stage, and malformed rows yield NULL (counted
+    here as n_bad) instead of failing the job — the PERMISSIVE-mode
+    contract a web-scale pipeline needs for dirty data."""
+    k = F.from_json(F.col("props"), "k bigint").getField("k")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("k").isNull().cast("long")).alias("n_bad"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def events_session_native(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session aggregation via Spark's NATIVE session_window operator —
+    the built-in counterpart of the lag/cumsum idiom in
+    ``events_sessionize`` (kept: its session ids are stable, and it is the
+    shape engines without session_window must use).
+
+    Boundary semantics (probed empirically, not assumed): an event
+    EXACTLY ``gap`` after its predecessor still merges — the split rule is
+    strictly-greater-than, identical to the lag/cumsum idiom's — and
+    window.end is last_ts + gap, not max(ts).  One shuffle on user_id,
+    same as the manual idiom; in STREAMING mode this same expression gets
+    incremental state merging for free (see streaming/stream.py for the
+    family)."""
+    w = F.session_window(F.col("ts"), gap)
+    return (
+        events.groupBy("user_id", w.alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), 6).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )

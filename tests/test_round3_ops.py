@@ -156,3 +156,43 @@ def test_oversized_tail_doc_through_pipeline(spark):
     )
     assert got == want
     assert len(got) > 20  # oversized doc must actually split into many spans
+
+
+def test_session_native_boundary_semantics(spark):
+    """Pin the probed session_window boundary rule: an event EXACTLY gap
+    after its predecessor merges; one microsecond past the gap splits."""
+    import datetime as dt
+
+    from tei_chunker_spark.operators.relational import events_session_native
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, base, 1.0, "{}"),
+        (2, 1, base + dt.timedelta(minutes=30), 1.0, "{}"),          # == gap: merge
+        (3, 2, base, 1.0, "{}"),
+        (4, 2, base + dt.timedelta(minutes=30, microseconds=1), 1.0, "{}"),  # > gap: split
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double, props string"
+    )
+    got = {}
+    for r in events_session_native(ev).collect():
+        got.setdefault(r.user_id, []).append(r)
+    assert len(got[1]) == 1 and got[1][0].n_events == 2
+    assert got[1][0].session_end == base + dt.timedelta(minutes=60)
+    assert len(got[2]) == 2
+
+
+def test_events_json_stats_counts_malformed_as_null(spark):
+    from tei_chunker_spark.operators.relational import events_json_stats
+
+    ev = spark.createDataFrame(
+        [
+            (1, "click", '{"k": 5}'),
+            (2, "click", "not json"),
+            (3, "click", '{"other": 1}'),
+        ],
+        "event_id long, event_type string, props string",
+    )
+    r = events_json_stats(ev).collect()[0]
+    assert (r.n_events, r.n_bad, r.sum_k) == (3, 2, 5)
