@@ -321,6 +321,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["resume_anti_join"] = lambda spark, sf: relational.resume_anti_join(
         load(spark, sf, "documents")
     )
+    q["metrics_cube"] = lambda spark, sf: relational.metrics_cube(
+        load(spark, sf, "documents")
+    )
+    q["events_type_pivot"] = lambda spark, sf: relational.events_type_pivot(
+        load(spark, sf, "events")
+    )
     q["metrics_rollup"] = lambda spark, sf: relational.metrics_rollup(
         load(spark, sf, "documents")
     )
@@ -967,6 +973,21 @@ select doc_id, lang, n_chars from documents d
 where not exists (
     select 1 from documents x where x.doc_id = d.doc_id and x.doc_id % 10 < 3
 )
+"""
+
+    o["metrics_cube"] = """
+select lang, source, count(*) as n_docs, cast(sum(n_chars) as bigint) as total_chars
+from documents group by cube(lang, source)
+"""
+
+    o["events_type_pivot"] = """
+select date_trunc('hour', ts) as hour,
+       cast(sum(case when event_type = 'click' then 1 else 0 end) as bigint) as n_click,
+       cast(sum(case when event_type = 'error' then 1 else 0 end) as bigint) as n_error,
+       cast(sum(case when event_type = 'purchase' then 1 else 0 end) as bigint) as n_purchase,
+       cast(sum(case when event_type = 'signup' then 1 else 0 end) as bigint) as n_signup,
+       cast(sum(case when event_type = 'view' then 1 else 0 end) as bigint) as n_view
+from events group by date_trunc('hour', ts)
 """
 
     o["metrics_rollup"] = """

@@ -83,6 +83,39 @@ def metrics_rollup(documents: DataFrame) -> DataFrame:
     )
 
 
+def metrics_cube(documents: DataFrame) -> DataFrame:
+    """CUBE over (lang, source): all four grouping sets in one pass —
+    rollup's superset (adds the per-source margin).  Physically one Expand
+    node multiplies each input row into its grouping sets before the hash
+    agg, so the cost is (#sets x input), not #sets separate scans."""
+    return documents.cube("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+def events_type_pivot(events: DataFrame) -> DataFrame:
+    """PIVOT: hourly rows, one count column per event type.  The pivot
+    VALUES are declared literally — at scale an undeclared pivot forces an
+    extra distinct-scan job to discover the column set and makes the
+    output schema data-dependent (a downstream-breaking property); the
+    declared list keeps it one aggregation pass with a fixed schema."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        events.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        # pivot leaves absent (hour, type) cells NULL; a count is 0
+        .select(
+            "hour",
+            *[
+                F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}")
+                for t in types
+            ],
+        )
+    )
+
+
 def top_docs_per_group(documents: DataFrame, k: int = 3) -> DataFrame:
     """Window top-k: longest documents per language."""
     w = Window.partitionBy("lang").orderBy(
