@@ -352,6 +352,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load(spark, sf, "orders"),
         load(spark, sf, "lineitem"),
     )
+    q["events_robust_zscore"] = lambda spark, sf: relational.events_robust_zscore(
+        load(spark, sf, "events")
+    )
     q["events_json_stats"] = lambda spark, sf: relational.events_json_stats(
         load(spark, sf, "events")
     )
@@ -1008,6 +1011,19 @@ select lang, doc_id, n_chars, cast(rnk as bigint) as rnk from r where rnk <= 3
 select date_trunc('hour', ts) as hour, event_type,
        count(*) as n_events, round(cast(sum(cast(value as decimal(25,10))) as double), 6) as sum_value
 from events group by date_trunc('hour', ts), event_type
+"""
+
+    # Grouped-map robust z-score: DuckDB's median/mad are the same
+    # interpolated statistics pandas computes; both are IEEE-exact
+    # ((a+b)/2 and correctly-rounded division), so round(x,6) matches.
+    o["events_robust_zscore"] = """
+with m as (
+    select event_type, median(value) as med, mad(value) as madv
+    from events group by event_type
+)
+select e.event_id, e.event_type, e.value,
+       case when m.madv > 0 then round((e.value - m.med) / m.madv, 6) end as rz
+from events e join m using (event_type)
 """
 
     o["events_json_stats"] = """

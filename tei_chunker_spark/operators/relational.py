@@ -511,6 +511,47 @@ def resume_anti_join(documents: DataFrame) -> DataFrame:
     )
 
 
+def events_robust_zscore(events: DataFrame) -> DataFrame:
+    """Per-type robust z-scores ((value - median) / MAD) via GROUPED-MAP
+    ``applyInPandas`` — the remaining pandas-UDx surface (grouped map:
+    one Arrow batch per group in, N rows out; vs the GROUPED_AGG UDAF in
+    events_value_mad which returns one scalar per group).
+
+    Group-at-once is inherent to the statistic (median needs the whole
+    group) and fine for low-cardinality event_type; the high-cardinality
+    escape hatch is the histogram-sketch family (events_value_mad_sketch).
+    Determinism note mirrored by the DuckDB oracle: interpolated medians
+    are (a+b)/2 — IEEE-exact — and the final division is correctly
+    rounded, so the raw double is cross-engine identical; the display
+    rounding happens SPARK-side (HALF_UP, like DuckDB's round) because
+    pandas/numpy round is banker's (half-to-even) and would disagree on
+    exact .5 boundaries.  MAD-zero groups yield NULL (never a silent drop
+    or an ANSI divide error)."""
+    import pandas as pd
+
+    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        med = pdf["value"].median()
+        mad = (pdf["value"] - med).abs().median()
+        rz = (pdf["value"] - med) / mad if mad > 0 else None
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "event_type": pdf["event_type"],
+                "value": pdf["value"],
+                "rz": rz,
+            }
+        )
+
+    return (
+        events.select("event_id", "event_type", "value")
+        .groupBy("event_type")
+        .applyInPandas(
+            fn, "event_id long, event_type string, value double, rz double"
+        )
+        .withColumn("rz", F.round("rz", 6))
+    )
+
+
 def events_json_stats(events: DataFrame) -> DataFrame:
     """Typed JSON extraction + aggregation over the semi-structured
     ``props`` column: parse with a SCHEMA (``from_json``, JVM-side Jackson
