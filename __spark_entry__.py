@@ -358,6 +358,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_json_stats"] = lambda spark, sf: relational.events_json_stats(
         load(spark, sf, "events")
     )
+    q["events_variant_hist"] = lambda spark, sf: relational.events_variant_hist(
+        load(spark, sf, "events")
+    )
     q["events_session_native"] = lambda spark, sf: relational.events_session_native(
         load(spark, sf, "events")
     )
@@ -1036,6 +1039,17 @@ select event_type, count(*) as n_events,
        cast(min(k) as bigint) as min_k,
        cast(max(k) as bigint) as max_k
 from x group by event_type
+"""
+
+    o["events_variant_hist"] = """
+with x as (
+    select floor(cast(json_extract(props, '$.k') as bigint) / 10) as k_bucket, user_id
+    from events
+)
+select cast(k_bucket as bigint) as k_bucket,
+       count(*) as n_events,
+       cast(count(distinct user_id) as bigint) as n_users
+from x group by k_bucket
 """
 
     # Native session_window mirror: split on gap STRICTLY > 30 min

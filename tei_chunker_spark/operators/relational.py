@@ -576,6 +576,28 @@ def events_json_stats(events: DataFrame) -> DataFrame:
     )
 
 
+def events_variant_hist(events: DataFrame) -> DataFrame:
+    """Histogram of props.k deciles through the VARIANT type (Spark 4):
+    ``parse_json`` materializes the open-schema binary variant encoding
+    once, ``variant_get`` then extracts typed paths WITHOUT re-parsing
+    the JSON text per access — the right shape when several fields of a
+    big semi-structured column are touched (from_json-with-schema, as in
+    events_json_stats, remains right when the field set is known and
+    narrow).  Typed-path misses and malformed documents surface as NULL
+    (bucketed separately here, never dropped)."""
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        events.select(
+            F.floor(k / 10).cast("long").alias("k_bucket"), "user_id"
+        )
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+
+
 def events_session_native(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Session aggregation via Spark's NATIVE session_window operator —
     the built-in counterpart of the lag/cumsum idiom in

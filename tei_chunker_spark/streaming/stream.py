@@ -155,6 +155,79 @@ def events_hourly_stream(
     )
 
 
+def user_totals_tws_stream(
+    spark: SparkSession,
+    events_path: str,
+    checkpoint_path: str,
+    output_path: str,
+) -> StreamingQuery:
+    """Per-user running totals via ``transformWithStateInPandas`` — the
+    Spark 4 arbitrary-state API that supersedes applyInPandasWithState
+    (kept one function up for surface completeness): named, typed state
+    primitives (ValueState here; List/MapState exist) managed by the
+    state store with per-state TTL, instead of one opaque
+    per-key tuple.  Output is the updated running total per user per
+    micro-batch — same contract as user_totals_stream, letting the test
+    pin the two APIs against each other and the batch aggregate.
+
+    Sandbox caveat: the TWS control protocol needs ``google.protobuf``
+    (pyspark ships only the generated StateMessage_pb2); the module is
+    absent here, so tests/test_streaming.py gates this path with
+    importorskip — the documented environmental blocker, exactly like the
+    Iceberg runtime jar."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", "n long, total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            n, total = (
+                self._state.get() if self._state.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "sum_value": [round(total, 6)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    src = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .parquet(events_path)
+    )
+    totals = src.groupBy("user_id").transformWithStateInPandas(
+        RunningTotals(),
+        outputStructType="user_id long, n_events long, sum_value double",
+        outputMode="Append",
+        timeMode="None",
+    )
+    return (
+        totals.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def dedup_stream(
     spark: SparkSession,
     events_path: str,

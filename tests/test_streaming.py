@@ -107,6 +107,46 @@ def test_user_totals_stateful_stream(spark, tmp_path):
         assert abs(r.sum_value - s) <= 1e-6
 
 
+def test_user_totals_tws_stream(spark, tmp_path):
+    """transformWithStateInPandas running totals equal the batch groupBy
+    (and therefore the applyInPandasWithState variant it supersedes).
+
+    Environmental gate: the TWS protocol serializes state over protobuf
+    (pyspark/sql/streaming/proto/StateMessage_pb2), and google.protobuf
+    is not installed in this sandbox (no-install policy) — the operator
+    code is complete and this test runs wherever protobuf exists."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState needs protobuf (absent in sandbox)",
+    )
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from tei_chunker_spark.streaming.stream import user_totals_tws_stream
+
+    src = tmp_path / "events"
+    src.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src / "part-0.parquet")
+    out = str(tmp_path / "tws_totals")
+    q = user_totals_tws_stream(spark, str(src), str(tmp_path / "ck_tws"), out)
+    assert q.awaitTermination(300)
+    got = spark.read.parquet(out)
+    batch = {
+        r.user_id: (r.n, r.s)
+        for r in spark.read.parquet(str(src / "part-0.parquet"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    rows = got.collect()
+    assert len(rows) == len(batch)
+    for r in rows:
+        n, s = batch[r.user_id]
+        assert r.n_events == n
+        assert abs(r.sum_value - s) <= 1e-6
+
+
 def test_dedup_stream_drops_redeliveries(spark, tmp_path):
     """dropDuplicatesWithinWatermark: a feed containing each event twice
     (two redelivered files) drains to exactly one row per event_id."""
