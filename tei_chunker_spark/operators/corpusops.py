@@ -32,13 +32,20 @@ def seq_pack(
     Scale story — the global running sum is the whole problem: a naive
     ``Window.orderBy("doc_id")`` (no partition key) collapses 100 TB into
     ONE task.  This implements the classic two-level distributed prefix
-    sum instead: (1) per-bucket token totals (tiny: n_docs / bucket_size
-    rows), (2) exclusive cumulative offsets over that bucket census — the
-    only ordered window, over the small table, (3) broadcast-join the
-    offsets back and take a per-bucket window partitioned on bucket.  The
-    full corpus is touched only by embarrassingly parallel stages; the
+    sum instead: (1) per-bucket token totals (n_docs / bucket_size rows),
+    (2) exclusive cumulative offsets over that bucket census — the only
+    ordered window, over the small table, (3) broadcast-join the offsets
+    back and take a per-bucket window partitioned on bucket.  The full
+    corpus is touched only by embarrassingly parallel stages; the
     sequential pass is O(n_buckets).  Buckets are doc_id ranges, so the
     result is bit-identical to the single-partition window.
+
+    ``bucket_size`` sizes the sequential pass: the census must fit one
+    task, so pick n_docs / bucket_size ~ 10^6-10^7 (at 10^12 docs that is
+    bucket_size ~ 10^5-10^6, giving ~10^5-10^6-doc window partitions —
+    both sides comfortable).  The default 64 keeps local test runs
+    multi-bucket; correctness is invariant to the knob
+    (test_seq_pack_invariant_to_bucket_size).
     """
     b = F.lit(int(budget)).cast("long")
     docs = documents.select(

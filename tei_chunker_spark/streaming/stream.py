@@ -228,6 +228,94 @@ def user_totals_tws_stream(
     )
 
 
+def enriched_stream(
+    spark: SparkSession,
+    events_path: str,
+    user_dim: "DataFrame",
+    checkpoint_path: str,
+    output_path: str,
+) -> StreamingQuery:
+    """Stream-static join: each streaming event enriched with a static
+    dimension row (user cohort) — the standard streaming enrichment
+    pattern.  The static side is re-resolved per micro-batch (so a table
+    swap is picked up at batch boundaries) and BROADCAST: the stream side
+    never shuffles, which is what keeps a 100 TB/day feed linear — a
+    shuffled stream-static join would re-partition every micro-batch.
+
+    No watermark needed: stream-static inner joins are stateless (state
+    only appears in stream-stream joins)."""
+    from pyspark.sql import functions as F
+
+    src = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .parquet(events_path)
+    )
+    joined = src.join(F.broadcast(user_dim), "user_id").select(
+        "event_id", "ts", "user_id", "event_type", "value", "cohort"
+    )
+    return (
+        joined.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def hourly_foreach_batch_stream(
+    spark: SparkSession,
+    events_path: str,
+    checkpoint_path: str,
+    output_path: str,
+) -> StreamingQuery:
+    """``foreachBatch`` sink: per micro-batch, aggregate and OVERWRITE
+    each touched hour partition idempotently — the pattern for sinks with
+    no native streaming writer (JDBC, Iceberg MERGE, key-value stores).
+
+    Exactly-once story: foreachBatch gives at-least-once delivery of each
+    batch_id; idempotence must come from the write itself.  Here that is
+    dynamic partition overwrite keyed on the hour — replaying a batch
+    rewrites the same partitions with the same rows (same device as the
+    batch job's bucket sink, manifest.py).  The batch_id is recorded on
+    every row so a replay is observable rather than silent."""
+    from pyspark.sql import functions as F
+
+    src = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .parquet(events_path)
+    )
+
+    def write_batch(batch_df: "DataFrame", batch_id: int) -> None:
+        agg = (
+            batch_df.groupBy(
+                F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+            )
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .withColumn("hour_key", F.date_format("hour", "yyyyMMddHH"))
+        )
+        (
+            agg.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("hour_key")
+            .parquet(output_path)
+        )
+
+    return (
+        src.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def dedup_stream(
     spark: SparkSession,
     events_path: str,

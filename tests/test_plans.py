@@ -136,6 +136,53 @@ def test_top_terms_plan_shape(spark):
     assert "WindowGroupLimit" in plan and "Partial" in plan
 
 
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """Scale-credibility check: with AQE skew-join on (this engine's
+    default session config), a join whose shuffle has one hot key gets
+    its oversized partition SPLIT at runtime ('skew=true' in the final
+    adaptive plan) instead of stalling one task.  Thresholds are lowered
+    to make a local-scale input exhibit what a 100 TB hot key would."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {}
+    for k in confs:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 10 == 0, F.col("id") % 5)
+            .otherwise(F.lit(0))
+            .alias("k"),
+            F.concat(F.lit("x" * 96), F.col("id").cast("string")).alias("pad"),
+        )
+        right = spark.range(0, 5).select(
+            F.col("id").alias("k"), F.lit("r").alias("rv")
+        )
+        j = left.join(right, "k")
+        # execute THIS dataframe's plan (a .count() would run a separate
+        # pruned query and leave j's own adaptive plan unexecuted)
+        assert len(j.collect()) == 200_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_section_pipeline_single_shuffle(spark, corpus_path):
     from tei_chunker_spark.operators.extract import section_metadata_pipeline
 

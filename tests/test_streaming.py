@@ -147,6 +147,74 @@ def test_user_totals_tws_stream(spark, tmp_path):
         assert abs(r.sum_value - s) <= 1e-6
 
 
+def test_enriched_stream_equals_batch_join(spark, tmp_path):
+    """Stream-static broadcast enrichment drains to the same rows as the
+    equivalent batch join."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from tei_chunker_spark.streaming.stream import enriched_stream
+
+    src = tmp_path / "events"
+    src.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src / "part-0.parquet")
+    ev = spark.read.parquet(str(src / "part-0.parquet"))
+    dim = (
+        ev.select("user_id")
+        .distinct()
+        .withColumn("cohort", (F.col("user_id") % 4).cast("string"))
+    )
+    out = str(tmp_path / "enriched")
+    q = enriched_stream(spark, str(src), dim, str(tmp_path / "ck_enr"), out)
+    assert q.awaitTermination(300)
+    got = {
+        (r.event_id, r.cohort)
+        for r in spark.read.parquet(out).select("event_id", "cohort").collect()
+    }
+    want = {
+        (r.event_id, r.cohort)
+        for r in ev.join(dim, "user_id").select("event_id", "cohort").collect()
+    }
+    assert got == want
+
+
+def test_foreach_batch_sink_idempotent_hours(spark, tmp_path):
+    """foreachBatch + dynamic hour-partition overwrite: output equals the
+    batch hourly aggregate, and re-running the drained stream (new
+    checkpoint, same input) leaves the SAME rows — replay-idempotent."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from tei_chunker_spark.streaming.stream import hourly_foreach_batch_stream
+
+    src = tmp_path / "events"
+    src.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src / "part-0.parquet")
+    out = str(tmp_path / "hourly_fb")
+
+    def drain(ck: str):
+        q = hourly_foreach_batch_stream(spark, str(src), str(tmp_path / ck), out)
+        assert q.awaitTermination(300)
+        return {
+            (r.hour, r.event_type): r.n_events
+            for r in spark.read.parquet(out).collect()
+        }
+
+    first = drain("ck_fb1")
+    want = {
+        (r.hour, r.event_type): r.n
+        for r in spark.read.parquet(str(src / "part-0.parquet"))
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert first == want
+    # replay with a fresh checkpoint: same partitions overwritten, no dupes
+    assert drain("ck_fb2") == want
+
+
 def test_dedup_stream_drops_redeliveries(spark, tmp_path):
     """dropDuplicatesWithinWatermark: a feed containing each event twice
     (two redelivered files) drains to exactly one row per event_id."""
