@@ -25,6 +25,34 @@ from .operators.extract import extract_pipeline
 from .sources.session import get_spark
 
 
+def observed_spans(spans):
+    """Attach an ``Observation`` to the span output: per-run counters
+    (spans, docs, text/media split) collected AS A SIDE EFFECT of the sink
+    action — zero extra scan, zero extra shuffle.  At 100 TB this is the
+    difference between free operational metrics and a second pass over
+    the output; the numbers land in ``obs.get`` after the write action
+    (and on a cluster in the QueryExecution listener event stream).
+
+    Returns (observed_df, observation); the observed df is
+    output-identical to the input.  DISTINCT aggregates are rejected by
+    CollectMetrics (it must merge per-partition partials), so the doc
+    count is the HLL ``approx_count_distinct`` — the honest trade for a
+    free metric; the manifest records exact per-bucket counts where
+    exactness matters."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation("extract_metrics")
+    observed = spans.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_spans"),
+        F.approx_count_distinct("doc_id").alias("n_docs_approx"),
+        F.sum((F.col("kind") == "text").cast("long")).alias("n_text"),
+        F.sum((F.col("kind") == "media_ref").cast("long")).alias("n_media"),
+    )
+    return observed, obs
+
+
 def build_job_config(args: argparse.Namespace) -> JobConfig:
     return JobConfig(
         chunker=ChunkerConfig(
@@ -66,7 +94,9 @@ def main(argv=None) -> None:
         spans = extract_pipeline(df, job)
         if args.explain:
             spans.explain("formatted")
+        spans, obs = observed_spans(spans)
         spans.write.mode("overwrite").parquet(args.output)
+        print(f"metrics: {obs.get}")
     else:
         run_resumable(
             spark,

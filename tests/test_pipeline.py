@@ -170,3 +170,28 @@ def test_physical_plan_shape(spark):
     plan = extract_pipeline(df, JOB)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert "MapInPandas" in plan
+
+
+def test_observation_metrics_free_counters(spark):
+    """job.observed_spans: sink-side Observation counters match exact
+    recomputation (n_spans/n_text/n_media exact; doc count is HLL-approx
+    — DISTINCT is rejected by CollectMetrics — so tolerance-checked)."""
+    from pyspark.sql import functions as F
+
+    from tei_chunker_spark.job import observed_spans
+
+    rows = make_rows([f"obs{i}" for i in range(40)])
+    spans = extract_pipeline(_input_df(spark, rows), JOB)
+    observed, obs = observed_spans(spans)
+    collected = observed.collect()  # the action that publishes metrics
+    m = obs.get
+    assert m["n_spans"] == len(collected)
+    kinds = [r.kind for r in collected]
+    assert m["n_text"] == sum(k == "text" for k in kinds)
+    assert m["n_media"] == sum(k == "media_ref" for k in kinds)
+    n_docs = len({r.doc_id for r in collected})
+    assert abs(m["n_docs_approx"] - n_docs) <= max(2, 0.05 * n_docs)
+    # observation is a pass-through: rows identical to the unobserved run
+    assert {tuple(r) for r in collected} == {
+        tuple(r) for r in extract_pipeline(_input_df(spark, rows), JOB).collect()
+    }
