@@ -17,7 +17,17 @@ golden fixtures rely on.
 """
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+import json
+import os
+import uuid
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 from ..corpus import INPUT_SCHEMA_DDL, doc_to_row
 
@@ -53,6 +63,64 @@ class TeiCorpusReader(DataSourceReader):
                     for s in row["spans"]
                 ],
             )
+
+
+class _SpanSinkCommit(WriterCommitMessage):
+    def __init__(self, tmp_file: str, n_rows: int):
+        self.tmp_file = tmp_file
+        self.n_rows = n_rows
+
+
+class SpanSinkWriter(DataSourceWriter):
+    """JSONL span sink with the two-phase commit contract a real external
+    sink needs: each task writes to a UNIQUE temp file and returns a
+    commit message; only the DRIVER's ``commit`` publishes (atomic rename
+    into place) — so a re-executed/speculated task leaves an orphan temp
+    file, never a duplicate or torn output.  ``abort`` removes the temps.
+    This mirrors how a JDBC/object-store sink gets effectively-once on
+    top of Spark's at-least-once task execution."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("span_sink requires option 'path'")
+
+    def write(self, iterator) -> _SpanSinkCommit:
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f"_tmp-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(tmp, "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _SpanSinkCommit(tmp, n)
+
+    def commit(self, messages) -> None:
+        total = 0
+        for i, m in enumerate(messages):
+            final = os.path.join(self.path, f"part-{i:05d}.jsonl")
+            os.replace(m.tmp_file, final)
+            total += m.n_rows
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
+            fh.write(json.dumps({"rows": total, "parts": len(messages)}))
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_file):
+                os.remove(m.tmp_file)
+
+
+class SpanSinkDataSource(DataSource):
+    """``df.write.format("span_sink").option("path", dir).save()`` —
+    custom Python DataSource WRITER counterpart of TeiCorpusDataSource's
+    reader (registration: ``spark.dataSource.register(SpanSinkDataSource)``)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "span_sink"
+
+    def writer(self, schema, overwrite: bool) -> SpanSinkWriter:
+        return SpanSinkWriter(self.options)
 
 
 class TeiCorpusDataSource(DataSource):

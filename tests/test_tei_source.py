@@ -60,3 +60,34 @@ def test_source_feeds_extraction_pipeline(spark):
     job = JobConfig(chunker=ChunkerConfig(500, 50), shuffle_partitions=8)
     out = extract_pipeline(df, job)
     assert out.count() > 0
+
+
+def test_span_sink_writer_two_phase_commit(spark, tmp_path):
+    """Custom DataSource WRITER: rows land as published part files plus a
+    _SUCCESS manifest; content round-trips; no temp files survive."""
+    import json
+    import os
+
+    from tei_chunker_spark.sources.tei_source import SpanSinkDataSource
+
+    spark.dataSource.register(SpanSinkDataSource)
+    df = spark.createDataFrame(
+        [(i, f"d{i % 3}", "text", f"body {i}") for i in range(30)],
+        "span_id long, doc_id string, kind string, text string",
+    ).repartition(4)
+    out = str(tmp_path / "span_sink_out")
+    # Python data sources accept only Append/Overwrite save modes
+    df.write.format("span_sink").option("path", out).mode("append").save()
+
+    files = sorted(os.listdir(out))
+    assert "_SUCCESS" in files
+    assert not [f for f in files if f.startswith("_tmp-")]
+    rows = []
+    for f in files:
+        if f.endswith(".jsonl"):
+            with open(os.path.join(out, f)) as fh:
+                rows += [json.loads(line) for line in fh]
+    assert len(rows) == 30
+    assert {r["span_id"] for r in rows} == set(range(30))
+    manifest = json.load(open(os.path.join(out, "_SUCCESS")))
+    assert manifest["rows"] == 30
