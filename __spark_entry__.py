@@ -327,6 +327,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_type_pivot"] = lambda spark, sf: relational.events_type_pivot(
         load(spark, sf, "events")
     )
+    q["events_type_unpivot"] = lambda spark, sf: relational.events_type_unpivot(
+        load(spark, sf, "events")
+    )
     q["metrics_rollup"] = lambda spark, sf: relational.metrics_rollup(
         load(spark, sf, "documents")
     )
@@ -994,6 +997,18 @@ select date_trunc('hour', ts) as hour,
        cast(sum(case when event_type = 'signup' then 1 else 0 end) as bigint) as n_signup,
        cast(sum(case when event_type = 'view' then 1 else 0 end) as bigint) as n_view
 from events group by date_trunc('hour', ts)
+"""
+
+    o["events_type_unpivot"] = """
+with w as (select date_trunc('hour', ts) as hour,
+       cast(sum(case when event_type = 'click' then 1 else 0 end) as bigint) as n_click,
+       cast(sum(case when event_type = 'error' then 1 else 0 end) as bigint) as n_error,
+       cast(sum(case when event_type = 'purchase' then 1 else 0 end) as bigint) as n_purchase,
+       cast(sum(case when event_type = 'signup' then 1 else 0 end) as bigint) as n_signup,
+       cast(sum(case when event_type = 'view' then 1 else 0 end) as bigint) as n_view
+from events group by date_trunc('hour', ts))
+select hour, event_type, cast(n_events as bigint) as n_events
+from w unpivot (n_events for event_type in (n_click, n_error, n_purchase, n_signup, n_view))
 """
 
     o["metrics_rollup"] = """

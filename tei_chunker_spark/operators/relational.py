@@ -116,6 +116,22 @@ def events_type_pivot(events: DataFrame) -> DataFrame:
     )
 
 
+def events_type_unpivot(events: DataFrame) -> DataFrame:
+    """UNPIVOT (melt): the wide hourly pivot back to long form — one row
+    per (hour, type-column).  Narrow per-row transform (an Expand node,
+    no shuffle beyond the pivot's own aggregation), the standard bridge
+    from a reporting-wide table back into a relational pipeline.  The
+    variable column keeps the literal source column names (n_click, …),
+    exactly like SQL UNPIVOT."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    return events_type_pivot(events).unpivot(
+        "hour",
+        [f"n_{t}" for t in types],
+        "event_type",
+        "n_events",
+    )
+
+
 def top_docs_per_group(documents: DataFrame, k: int = 3) -> DataFrame:
     """Window top-k: longest documents per language."""
     w = Window.partitionBy("lang").orderBy(
