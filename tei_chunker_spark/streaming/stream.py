@@ -228,6 +228,68 @@ def user_totals_tws_stream(
     )
 
 
+def click_purchase_join_stream(
+    spark: SparkSession,
+    events_path: str,
+    checkpoint_path: str,
+    output_path: str,
+    within: str = "1 hour",
+) -> StreamingQuery:
+    """STREAM-STREAM inner join: purchases matched to the same user's
+    clicks at most ``within`` before — the attribution join, and the one
+    streaming shape that NEEDS symmetric state: both sides buffer rows
+    until the watermark proves no more matches can arrive.
+
+    The two state-size controls, both mandatory at 100 TB/day: a
+    watermark on EACH side (bounds how long a row can wait for its
+    match), and a TIME-RANGE predicate in the join condition (lets the
+    engine evict a click as soon as the purchase-side watermark passes
+    click_ts + within, rather than keeping it forever).  An equality-only
+    stream-stream join would grow state without bound and is the classic
+    production incident."""
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    clicks = (
+        spark.readStream.schema(schema)
+        .parquet(events_path)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+            "user_id",
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        spark.readStream.schema(schema)
+        .parquet(events_path)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}")),
+    ).select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts")
+    return (
+        joined.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def enriched_stream(
     spark: SparkSession,
     events_path: str,

@@ -240,3 +240,44 @@ def test_dedup_stream_drops_redeliveries(spark, tmp_path):
     )
     assert got.count() == n_ids
     assert got.select(F.count_distinct("event_id")).first()[0] == n_ids
+
+
+def test_stream_stream_join_equals_batch(spark, tmp_path):
+    """Stream-stream attribution join (AvailableNow, single batch: both
+    sides fully arrive, so every qualifying pair emits) equals the batch
+    time-range join."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from tei_chunker_spark.streaming.stream import click_purchase_join_stream
+
+    src = tmp_path / "events"
+    src.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src / "part-0.parquet")
+    out = str(tmp_path / "attrib")
+    q = click_purchase_join_stream(spark, str(src), str(tmp_path / "ck_ss"), out)
+    assert q.awaitTermination(300)
+    got = {
+        (r.user_id, r.click_id, r.purchase_id)
+        for r in spark.read.parquet(out).collect()
+    }
+    ev = spark.read.parquet(str(src / "part-0.parquet"))
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts"), "user_id"
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("user_id").alias("p_user_id"),
+    )
+    want = {
+        (r.user_id, r.click_id, r.purchase_id)
+        for r in c.join(
+            p,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 hour")),
+        ).collect()
+    }
+    assert got == want and len(want) > 0
