@@ -27,6 +27,12 @@ from tei_chunker_spark.testing import normalize_for_compare as normalize
 
 def main() -> None:
     only = set(sys.argv[1:])
+    # Fail loudly on names that match nothing — a typo'd or flag-like
+    # argument (e.g. "--only") must not yield a vacuous "ALL PASSED".
+    unknown = only - set(entrymod.queries())
+    if unknown:
+        print(f"unknown query names: {sorted(unknown)}")
+        sys.exit(2)
     spark = get_spark("oracle-check", master="local[16]", shuffle_partitions=16)
     con = duckdb.connect()
     for t in TABLES:
