@@ -406,6 +406,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["boilerplate_stats"] = lambda spark, sf: corpusops.boilerplate_stats(
         _docs_with_exact_dups(spark, sf)
     )
+    q["corpus_bigrams"] = lambda spark, sf: corpusops.corpus_ngram_counts(
+        load(spark, sf, "documents"), n=2, k=20
+    )
     q["doc_top_terms"] = lambda spark, sf: corpusops.doc_top_terms(
         load(spark, sf, "documents"), k=3
     )
@@ -1349,6 +1352,18 @@ select d.doc_id,
        case when coalesce(pd.n_segs, 0) > 0
             then round(pd.n_dup_segs / cast(pd.n_segs as double), 6) end as dup_ratio
 from (select doc_id from docs_aug) d left join pd using (doc_id)
+"""
+
+    o["corpus_bigrams"] = f"""
+with t as (select {_TOKENS} as toks from documents),
+g as (
+    select toks[i] || ' ' || toks[i + 1] as gram
+    from t, unnest(generate_series(1, cast(greatest(len(toks) - 1, 0) as int))) as u(i)
+)
+select gram, count(*) as n_occurrences
+from g group by gram
+order by n_occurrences desc, gram asc
+limit 20
 """
 
     # Ranking is the integer-lexicographic (tf desc, df asc, term asc) —

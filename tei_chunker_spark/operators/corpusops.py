@@ -17,7 +17,7 @@ from collections.abc import Mapping
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.columns import token_count, tokens
+from ..functions.columns import token_count, tokens, word_ngrams
 
 
 def seq_pack(
@@ -203,6 +203,29 @@ def boilerplate_stats(documents: DataFrame, seg_tokens: int = 10) -> DataFrame:
                 F.round(F.col("n_dup_segs") / F.col("n_segs"), 6),
             ).alias("dup_ratio"),
         )
+    )
+
+
+def corpus_ngram_counts(
+    documents: DataFrame, n: int = 2, k: int = 20
+) -> DataFrame:
+    """Corpus-wide top-``k`` word ``n``-grams with counts — the substrate
+    of an n-gram LM filter (CCNet-style perplexity gating trains on
+    exactly these counts).  Deterministic tie-break: count desc, gram asc.
+
+    Shape at 100 TB: one generate + map-side-partial hash agg on the gram
+    (Zipf-skewed key but an AGGREGATE, so the hot gram costs one combiner
+    per partition — no pair blowup); the final top-k is a
+    TakeOrderedAndProject over the agg output, never a full sort of the
+    gram vocabulary."""
+    grams = documents.select(
+        F.explode(word_ngrams(tokens(F.col("text")), n)).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("gram").asc())
+        .limit(k)
     )
 
 
