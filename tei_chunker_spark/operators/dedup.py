@@ -176,16 +176,38 @@ def _collapse_exact(documents: DataFrame):
 
     mapping = (doc_id, rep_id) with rep_id = min doc_id among docs whose
     text is byte-identical; reps = one (doc_id, text) row per distinct
-    text.  Materialized eagerly (localCheckpoint — ContextCleaner-managed,
-    see jaccard_pairs note) because both outputs derive from the same
-    window and feed different sides of the downstream plan."""
-    w = Window.partitionBy(F.md5("text"))
-    m = documents.select(
-        "doc_id", "text", F.min("doc_id").over(w).alias("rep_id")
-    ).localCheckpoint(eager=True)
-    return m.select("doc_id", "rep_id"), m.filter(
-        F.col("doc_id") == F.col("rep_id")
-    ).select("doc_id", "text")
+    text.
+
+    Built from a hash AGGREGATE on md5(text), not a window partitioned on
+    it — the skew argument is decisive: under a window, a B-doc
+    identical-text cluster lands B full-text rows on ONE reducer (the
+    exact hot spot this collapse exists to defuse, recreated inside the
+    defense itself); the aggregate's map-side partial reduces that
+    cluster to at most one text per map partition before the shuffle.
+    The mapping side then shuffles only narrow (doc_id, md5) rows for
+    its join.  Costs ~0.3 s extra in fixed job overhead at sf0.1
+    (measured) — the price of not melting a reducer at 10^7-doc
+    boilerplate clusters.  Both outputs are materialized eagerly
+    (localCheckpoint — ContextCleaner-managed, see jaccard_pairs note):
+    groups feeds reps AND the mapping join; mapping is referenced three
+    times by _expand_rep_pairs."""
+    groups = (
+        documents.groupBy(F.md5("text").alias("_h"))
+        .agg(
+            F.min("doc_id").alias("rep_id"),
+            # all texts in a group are byte-identical (md5 key), so
+            # first() is value-deterministic
+            F.first("text").alias("text"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    mapping = (
+        documents.select("doc_id", F.md5("text").alias("_h"))
+        .join(groups.select("_h", "rep_id"), "_h")
+        .select("doc_id", "rep_id")
+        .localCheckpoint(eager=True)
+    )
+    return mapping, groups.select(F.col("rep_id").alias("doc_id"), "text")
 
 
 def _expand_rep_pairs(
