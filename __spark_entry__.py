@@ -406,6 +406,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["boilerplate_stats"] = lambda spark, sf: corpusops.boilerplate_stats(
         _docs_with_exact_dups(spark, sf)
     )
+    q["doc_familiarity"] = lambda spark, sf: corpusops.doc_familiarity(
+        load(spark, sf, "documents")
+    )
     q["corpus_bigrams"] = lambda spark, sf: corpusops.corpus_ngram_counts(
         load(spark, sf, "documents"), n=2, k=20
     )
@@ -1352,6 +1355,25 @@ select d.doc_id,
        case when coalesce(pd.n_segs, 0) > 0
             then round(pd.n_dup_segs / cast(pd.n_segs as double), 6) end as dup_ratio
 from (select doc_id from docs_aug) d left join pd using (doc_id)
+"""
+
+    o["doc_familiarity"] = f"""
+with t as (select doc_id, {_TOKENS} as toks from documents),
+g as (
+    select doc_id, toks[i] || ' ' || toks[i + 1] as gram
+    from t, unnest(generate_series(1, cast(greatest(len(toks) - 1, 0) as int))) as u(i)
+),
+dfq as (select gram, count(*) as gram_df from g group by gram),
+pd as (
+    select g.doc_id, cast(count(*) as bigint) as n_grams,
+           cast(sum(dfq.gram_df) as bigint) as df_sum
+    from g join dfq using (gram) group by g.doc_id
+)
+select d.doc_id,
+       cast(coalesce(pd.n_grams, 0) as bigint) as n_grams,
+       cast(coalesce(pd.df_sum, 0) as bigint) as df_sum,
+       round(pd.df_sum / cast(pd.n_grams as double), 6) as familiarity
+from (select doc_id from documents) d left join pd using (doc_id)
 """
 
     o["corpus_bigrams"] = f"""

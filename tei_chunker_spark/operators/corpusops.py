@@ -229,6 +229,49 @@ def corpus_ngram_counts(
     )
 
 
+def doc_familiarity(documents: DataFrame, n: int = 2) -> DataFrame:
+    """Per-document n-gram familiarity: the average CORPUS frequency of
+    the document's n-grams — the deterministic cousin of an n-gram-LM
+    perplexity filter (CCNet-style).  Low familiarity = the document's
+    n-grams are rare corpus-wide: gibberish, boilerplate-free unique
+    text, or another language; high = templated/common text.
+
+    Deliberately NOT log-probability: a sum of ln() terms is a
+    nondeterministic-last-ulp double accumulation across engines (the
+    exact flake class dsum() exists for, but ln's own faithful-rounding
+    slack makes even decimal accumulation unsafe here).  Integer count
+    sums are exact, order-independent, and engine-identical; the single
+    final division is IEEE-correctly-rounded.
+
+    Shape at 100 TB: gram df is one hash agg; the doc-side join is on the
+    gram key (Zipf-hot grams fan in linearly); per-doc rollup is a second
+    hash agg.  Documents with no n-grams (< n tokens) get NULL score,
+    kept."""
+    grams = documents.select(
+        "doc_id", F.explode(word_ngrams(tokens(F.col("text")), n)).alias("gram")
+    )
+    df = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("gram_df"))
+    per_doc = (
+        grams.join(df, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum("gram_df").cast("long").alias("df_sum"),
+        )
+        .withColumn("familiarity", F.round(F.col("df_sum") / F.col("n_grams"), 6))
+    )
+    return (
+        documents.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0).cast("long")).alias("n_grams"),
+            F.coalesce("df_sum", F.lit(0).cast("long")).alias("df_sum"),
+            "familiarity",
+        )
+    )
+
+
 def doc_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
     """Top-``k`` salient terms per document, ranked by (tf desc, df asc,
     term asc), with the tf-idf score reported alongside.
