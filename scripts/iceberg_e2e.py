@@ -43,8 +43,15 @@ def e2e_job(buckets: int = BUCKETS, bucketed: bool = True):
 def find_local_iceberg_jar() -> str | None:
     """Offline jar resolution: probe the standard local caches so a box
     that has ever fetched iceberg-spark-runtime runs the real e2e even
-    without network (--packages would try to resolve remotely)."""
+    without network (--packages would try to resolve remotely).
+
+    Only jars built for the RUNNING Spark major.minor are eligible (the
+    artifact name embeds it: iceberg-spark-runtime-4.1_2.13-<ver>.jar) —
+    a cached jar for another Spark would be injected and then fail
+    classloading confusingly instead of hitting the documented skip path
+    (round-3 advisory).  Among matches, prefer the newest by filename."""
     import glob
+    import re
 
     candidates = []
     for root in ("~/.ivy2", "~/.m2"):
@@ -58,9 +65,22 @@ def find_local_iceberg_jar() -> str | None:
         candidates += glob.glob(
             os.path.join(os.path.dirname(pyspark.__file__), "jars", "iceberg-spark-runtime*.jar")
         )
+        spark_mm = ".".join(pyspark.__version__.split(".")[:2])
     except ImportError:
-        pass
-    return candidates[0] if candidates else None
+        return None
+    matched = [
+        c
+        for c in candidates
+        if re.search(
+            rf"iceberg-spark-runtime-{re.escape(spark_mm)}_", os.path.basename(c)
+        )
+    ]
+    if candidates and not matched:
+        print(
+            f"ICEBERG_JAR_SKIPPED: cached jar(s) {sorted(set(map(os.path.basename, candidates)))} "
+            f"do not match running Spark {spark_mm}"
+        )
+    return max(matched, key=os.path.basename) if matched else None
 
 
 def dry_run(spark, n_docs: int = 200) -> int:

@@ -47,7 +47,6 @@ def seq_pack(
     multi-bucket; correctness is invariant to the knob
     (test_seq_pack_invariant_to_bucket_size).
     """
-    b = F.lit(int(budget)).cast("long")
     docs = documents.select(
         "doc_id",
         # integer div, not double /: exact for ids past 2^53
@@ -78,9 +77,13 @@ def seq_pack(
         .withColumn("cum_end", F.col("bucket_offset") + F.sum("n_tokens").over(w))
         .withColumn("start_offset", F.col("cum_end") - F.col("n_tokens"))
     )
-    first_pack = F.floor(F.col("start_offset") / b)
-    last_pack = F.floor(
-        F.greatest(F.col("cum_end") - 1, F.col("start_offset")) / b
+    # integer `div`, not floor(double /): offsets are non-negative so div
+    # == floor, and the quotient stays exact past 2^53 cumulative tokens
+    # (double division could cross a floor boundary for non-power-of-two
+    # budgets at 10^12-doc scale — round-3 advisory)
+    first_pack = F.expr(f"start_offset div {int(budget)}")
+    last_pack = F.expr(
+        f"greatest(cum_end - 1, start_offset) div {int(budget)}"
     )
     return packed.select(
         "doc_id",

@@ -224,18 +224,29 @@ def _simhash_from_packed_sql(col: str = "_pk") -> str:
     counters for hex positions 1..16, acc[16] = distinct-token count n)
     into the 64-bit signature.  Bit 4p+j is set iff 2 * lane(p, j) > n.
 
-    Guarded precondition (round-2 advisory): the packed 16-bit lane
-    counters are exact only below 32,768 distinct tokens — beyond that a
-    low-lane-skewed document could silently carry into the neighboring
-    lane.  The upstream chunker bounds span sizes far below this, but the
-    operator is also called on raw un-chunked corpora, so the bound is now
-    ENFORCED loudly: the signature projection raises USER_RAISED_EXCEPTION
+    Guarded precondition (round-2 advisory; bound re-derived round 4):
+    the guard stays at 32,768 because the binding constraint is NOT
+    lane-to-lane carry at 65,536 — it is the SIGN BIT of the signed-64
+    accumulator.  The top lane of each packed bigint occupies bits 48-63,
+    so once its counter reaches 32,768 the running sum crosses 2^63 and
+    ANSI-mode addition raises ARITHMETIC_OVERFLOW mid-aggregate (verified
+    empirically: a balanced 66,000-distinct-token document, top counters
+    ~33,000, dies in the accumulation before this guard is ever
+    evaluated — test_simhash_lane_guard_raises_beyond_capacity).  A
+    worst-case document can drive a top-lane counter to n, so n <= 32,767
+    is the sharp worst-case-exact capacity; the unsigned reading that
+    gives 65,535 would require wraparound semantics ANSI mode forbids.
+    In practice md5-nibble uniformity keeps top counters near n/2, so for
+    n in [32,768, ~65,000] accumulation survives and THIS guard raises
+    the clear message; beyond that the ANSI overflow (also a loud,
+    deterministic error) preempts it — either way no signature is ever
+    silently corrupted.  The projection raises USER_RAISED_EXCEPTION
     (if() is lazily evaluated even in codegen, so the guard costs one
     element_at comparison per row)."""
     guard = (
         f"if(element_at({col}, 17) < 32768, {{sig}}, "
         f"cast(raise_error(concat('simhash64: ', cast(element_at({col}, 17) as string), "
-        f"' distinct tokens exceeds the 16-bit lane capacity (32768); "
+        f"' distinct tokens exceeds the signed packed-lane capacity (32767); "
         f"split the document upstream')) as bigint))"
     )
     return guard.format(

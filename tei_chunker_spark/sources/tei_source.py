@@ -78,10 +78,19 @@ class SpanSinkWriter(DataSourceWriter):
     into place) — so a re-executed/speculated task leaves an orphan temp
     file, never a duplicate or torn output.  ``abort`` removes the temps.
     This mirrors how a JDBC/object-store sink gets effectively-once on
-    top of Spark's at-least-once task execution."""
+    top of Spark's at-least-once task execution.
 
-    def __init__(self, options):
+    Save-mode semantics (round-3 advisory: the flag used to be ignored,
+    so a second overwrite with fewer tasks left stale part files mixed
+    with the new run's): ``overwrite`` clears prior part-*.jsonl and
+    _SUCCESS inside ``commit`` — temps land first, the destructive step
+    happens only once the new run's data is safely on disk, then the
+    renames publish.  ``append`` numbers new parts after the existing
+    ones so nothing is clobbered."""
+
+    def __init__(self, options, overwrite: bool):
         self.path = options.get("path")
+        self.overwrite = overwrite
         if not self.path:
             raise ValueError("span_sink requires option 'path'")
 
@@ -96,9 +105,24 @@ class SpanSinkWriter(DataSourceWriter):
         return _SpanSinkCommit(tmp, n)
 
     def commit(self, messages) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        existing = sorted(
+            f
+            for f in os.listdir(self.path)
+            if f.startswith("part-") and f.endswith(".jsonl")
+        )
+        start = 0
+        if self.overwrite:
+            for f in existing:
+                os.remove(os.path.join(self.path, f))
+            success = os.path.join(self.path, "_SUCCESS")
+            if os.path.exists(success):
+                os.remove(success)
+        elif existing:
+            start = max(int(f[len("part-") : -len(".jsonl")]) for f in existing) + 1
         total = 0
         for i, m in enumerate(messages):
-            final = os.path.join(self.path, f"part-{i:05d}.jsonl")
+            final = os.path.join(self.path, f"part-{start + i:05d}.jsonl")
             os.replace(m.tmp_file, final)
             total += m.n_rows
         with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
@@ -120,7 +144,7 @@ class SpanSinkDataSource(DataSource):
         return "span_sink"
 
     def writer(self, schema, overwrite: bool) -> SpanSinkWriter:
-        return SpanSinkWriter(self.options)
+        return SpanSinkWriter(self.options, overwrite)
 
 
 class TeiCorpusDataSource(DataSource):

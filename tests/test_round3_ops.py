@@ -74,15 +74,28 @@ def test_asof_validate_rejects_duplicate_right(spark):
 
 
 def test_simhash_lane_guard_raises_beyond_capacity(spark):
-    """>= 32768 distinct tokens must raise loudly (packed 16-bit lane
-    counters could otherwise silently carry into the neighbor lane)."""
-    big = spark.createDataFrame(
+    """The 32768 guard is the SHARP bound, not a 2x margin (round-3
+    advisory re-derived): the signed-64 accumulator's top lane lives in
+    bits 48-63, so a top-lane counter reaching 32768 crosses 2^63 and
+    ANSI addition raises mid-aggregate.  Three regimes pinned here:
+    (a) n in [32768, ~65000]: accumulation survives (top counters ~n/2)
+        and the explicit guard raises its clear capacity message;
+    (b) n ~ 66000 balanced: the accumulation itself overflows (loud
+        ARITHMETIC_OVERFLOW — deterministic, never silent corruption),
+        the empirical refutation of the unsigned 65535 reading;
+    (c) n below the guard: signature produced."""
+    guarded = spark.createDataFrame(
         [(1, " ".join(str(i) for i in range(33000)))], "doc_id long, text string"
     )
     with pytest.raises(Exception, match="lane capacity"):
-        simhash64(big).collect()
+        simhash64(guarded).collect()
+    overflowing = spark.createDataFrame(
+        [(2, " ".join(str(i) for i in range(66000)))], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW|lane capacity"):
+        simhash64(overflowing).collect()
     ok = spark.createDataFrame(
-        [(2, " ".join(str(i) for i in range(1000)))], "doc_id long, text string"
+        [(3, " ".join(str(i) for i in range(1000)))], "doc_id long, text string"
     )
     assert len(simhash64(ok).collect()) == 1
 

@@ -91,3 +91,56 @@ def test_span_sink_writer_two_phase_commit(spark, tmp_path):
     assert {r["span_id"] for r in rows} == set(range(30))
     manifest = json.load(open(os.path.join(out, "_SUCCESS")))
     assert manifest["rows"] == 30
+
+def test_span_sink_overwrite_clears_stale_parts(spark, tmp_path):
+    """mode('overwrite') must leave ONLY the new run's parts: a first run
+    with 4 tasks then an overwrite with 1 task used to strand stale
+    part-00001..3 next to the new part-00000 (round-3 advisory)."""
+    import json
+    import os
+
+    from tei_chunker_spark.sources.tei_source import SpanSinkDataSource
+
+    spark.dataSource.register(SpanSinkDataSource)
+    out = str(tmp_path / "span_sink_ovw")
+    big = spark.createDataFrame(
+        [(i, "old") for i in range(40)], "span_id long, tag string"
+    ).repartition(4)
+    big.write.format("span_sink").option("path", out).mode("overwrite").save()
+    assert len([f for f in os.listdir(out) if f.endswith(".jsonl")]) == 4
+
+    small = spark.createDataFrame(
+        [(i, "new") for i in range(5)], "span_id long, tag string"
+    ).coalesce(1)
+    small.write.format("span_sink").option("path", out).mode("overwrite").save()
+    parts = [f for f in os.listdir(out) if f.endswith(".jsonl")]
+    assert parts == ["part-00000.jsonl"], parts
+    rows = [json.loads(l) for l in open(os.path.join(out, "part-00000.jsonl"))]
+    assert {r["tag"] for r in rows} == {"new"} and len(rows) == 5
+    manifest = json.load(open(os.path.join(out, "_SUCCESS")))
+    assert manifest["rows"] == 5 and manifest["parts"] == 1
+
+
+def test_span_sink_append_does_not_clobber(spark, tmp_path):
+    """mode('append') numbers new parts after the existing ones; both
+    runs' rows survive."""
+    import json
+    import os
+
+    from tei_chunker_spark.sources.tei_source import SpanSinkDataSource
+
+    spark.dataSource.register(SpanSinkDataSource)
+    out = str(tmp_path / "span_sink_app")
+    for tag in ("a", "b"):
+        df = spark.createDataFrame(
+            [(i, tag) for i in range(3)], "span_id long, tag string"
+        ).coalesce(1)
+        df.write.format("span_sink").option("path", out).mode("append").save()
+    parts = sorted(f for f in os.listdir(out) if f.endswith(".jsonl"))
+    assert parts == ["part-00000.jsonl", "part-00001.jsonl"], parts
+    rows = []
+    for p in parts:
+        rows += [json.loads(l) for l in open(os.path.join(out, p))]
+    assert sorted((r["span_id"], r["tag"]) for r in rows) == sorted(
+        (i, t) for t in ("a", "b") for i in range(3)
+    )
