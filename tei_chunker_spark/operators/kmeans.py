@@ -31,10 +31,11 @@ from __future__ import annotations
 
 from typing import List, Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.columns import cosine
+from .similarity import _ranked
 
 QUANT_SCALE = 10000
 
@@ -185,20 +186,10 @@ def ann_ivf_multiprobe_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cos_sim_raw", cosine(F.col("q_emb"), F.col("c_emb")))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim_raw").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            "cell",
-            "rank",
-            F.round(F.col("cos_sim_raw"), 6).alias("cos_sim"),
-        )
-    )
+    # two-stage top-k (similarity._ranked): a single per-query window
+    # would land a full probed cell (~n_probe x N/n_cells rows) on one
+    # task at 100 TB — round-3 verdict item 1.
+    return _ranked(pairs, k, extra_cols=("cell",))
 
 
 def ann_ivf_trained_topk(
@@ -231,17 +222,5 @@ def ann_ivf_trained_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cos_sim_raw", cosine(F.col("q_emb"), F.col("c_emb")))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim_raw").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            "cell",
-            "rank",
-            F.round(F.col("cos_sim_raw"), 6).alias("cos_sim"),
-        )
-    )
+    # two-stage top-k: see similarity._ranked (round-3 verdict item 1)
+    return _ranked(pairs, k, extra_cols=("cell",))

@@ -190,3 +190,34 @@ def test_section_pipeline_single_shuffle(spark, corpus_path):
     secs = section_metadata_pipeline(df, JOB)
     assert count_exchanges(secs) == 1
     assert "MapInPandas" in executed_plan(secs)
+
+
+def test_ann_ranking_is_two_stage_topk(spark):
+    """ANN top-k must never rank a query's ENTIRE candidate set in one
+    window task (round-3 verdict): the first (deepest) ranking window has
+    to be salted — partitioned on (query_id, _salt) — so the final
+    per-query merge sees only <= k x N_SALTS survivors.  A plan whose
+    only candidate-ranking window is partitioned on bare query_id would
+    put a whole corpus/cell on one task at 100 TB.  Both windows must
+    also get the Partial WindowGroupLimit pushdown (only ~k rows per
+    group per map partition reach each exchange)."""
+    import re
+
+    from tei_chunker_spark.operators.kmeans import ann_ivf_trained_topk
+    from tei_chunker_spark.operators.similarity import ann_bruteforce_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.limit(5)
+    for out in (ann_bruteforce_topk(emb, q, 10), ann_ivf_trained_topk(emb, q, 10)):
+        plan = executed_plan(out)
+        keys = re.findall(
+            r"windowspecdefinition\((query_id#\d+L?(?:, _salt#\d+L?)?), cos_sim",
+            plan,
+        )
+        assert len(keys) == 2, keys
+        salted = [k for k in keys if "_salt" in k]
+        assert len(salted) == 1, keys  # stage 1 salted, stage 2 merge
+        # the salted stage must sit BELOW the merge stage in the plan
+        # (physical plans print top-down: the merge window appears first)
+        assert "_salt" in keys[1] and "_salt" not in keys[0], keys
+        assert plan.count(", row_number(), 10, Partial") == 2, plan
