@@ -121,17 +121,31 @@ def test_seq_pack_no_global_window_over_corpus(spark):
 
 
 def test_top_terms_plan_shape(spark):
-    """df comes from a COUNT-OVER window on term (one exchange), never a
-    df-aggregate + self-join (two more shuffles of the tf table); the
-    1-row N attaches via broadcast; and the rank filter pushes a PARTIAL
-    WindowGroupLimit below the doc_id exchange (only ~k rows per doc per
-    partition are shuffled)."""
+    """df comes from an AGGREGATE on term joined back onto tf — NEVER a
+    COUNT-OVER window partitioned by term: a window partition can't be
+    split at runtime, so a Zipf-head term would land every (doc, term)
+    row on one task (round-3 verdict; the round-3 window shape saved two
+    exchanges but bought that placement hazard).  The df aggregate gets
+    map-side partial aggregation (hot term shrinks to one row per
+    partition before its shuffle), the 1-row N attaches via broadcast,
+    and the rank filter pushes a PARTIAL WindowGroupLimit below the
+    doc_id exchange."""
     from tei_chunker_spark.operators.corpusops import doc_top_terms
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = executed_plan(doc_top_terms(docs))
-    assert "windowspecdefinition(term" in plan
-    assert "Join [term" not in plan and "SortMergeJoin [term" not in plan
+    assert "windowspecdefinition(term" not in plan
+    # the only window is the per-doc rank
+    assert "windowspecdefinition(doc_id" in plan
+    # df joins back on term (hash or sort-merge; AQE picks broadcast at
+    # test scale - all are splittable or broadcast, none single-task)
+    import re
+
+    assert re.search(r"(BroadcastHash|SortMerge|ShuffledHash)Join \[term#", plan)
+    # map-side partial df aggregate: hot term shrinks before the shuffle
+    assert re.search(
+        r"HashAggregate\(keys=\[term#\d+\], functions=\[partial_count", plan
+    )
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row N attach
     assert "WindowGroupLimit" in plan and "Partial" in plan
 
