@@ -184,13 +184,21 @@ def _collapse_exact(documents: DataFrame):
     exact hot spot this collapse exists to defuse, recreated inside the
     defense itself); the aggregate's map-side partial reduces that
     cluster to at most one text per map partition before the shuffle.
-    The mapping side then shuffles only narrow (doc_id, md5) rows for
-    its join.  Costs ~0.3 s extra in fixed job overhead at sf0.1
-    (measured) — the price of not melting a reducer at 10^7-doc
-    boilerplate clusters.  Both outputs are materialized eagerly
-    (localCheckpoint — ContextCleaner-managed, see jaccard_pairs note):
-    groups feeds reps AND the mapping join; mapping is referenced three
-    times by _expand_rep_pairs."""
+    Member ids are collected INSIDE that same aggregate
+    (collect_list(doc_id)) so the doc->rep mapping derives from the
+    groups checkpoint by a narrow explode — round 3 built it as a second
+    full scan of documents + md5 + shuffle join, which the round-3 bench
+    showed costing ~0.78 s of the collapse's ~0.78 s total overhead at
+    sf0.1 (quiet-window A/B, r4); the fused shape re-reads nothing and
+    its only extra eager job is a shuffle-free explode.  Size bound: the
+    members array is O(B) ids per group (8B bytes for a B-doc identical
+    cluster — ~80 MB at B=10^7, comfortably within an executor; the
+    texts that the window shape would have concentrated are 3-5 orders
+    larger).  Both outputs are materialized eagerly (localCheckpoint —
+    ContextCleaner-managed, see jaccard_pairs note): groups feeds reps
+    AND mapping; mapping is referenced four times by _expand_rep_pairs,
+    and is checkpointed NARROW (no text column) so those four scans
+    never deserialize document bodies."""
     groups = (
         documents.groupBy(F.md5("text").alias("_h"))
         .agg(
@@ -198,12 +206,12 @@ def _collapse_exact(documents: DataFrame):
             # all texts in a group are byte-identical (md5 key), so
             # first() is value-deterministic
             F.first("text").alias("text"),
+            F.collect_list("doc_id").alias("_members"),
         )
         .localCheckpoint(eager=True)
     )
     mapping = (
-        documents.select("doc_id", F.md5("text").alias("_h"))
-        .join(groups.select("_h", "rep_id"), "_h")
+        groups.select("rep_id", F.explode("_members").alias("doc_id"))
         .select("doc_id", "rep_id")
         .localCheckpoint(eager=True)
     )
