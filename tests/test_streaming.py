@@ -179,40 +179,71 @@ def test_enriched_stream_equals_batch_join(spark, tmp_path):
     assert got == want
 
 
-def test_foreach_batch_sink_idempotent_hours(spark, tmp_path):
-    """foreachBatch + dynamic hour-partition overwrite: output equals the
-    batch hourly aggregate, and re-running the drained stream (new
-    checkpoint, same input) leaves the SAME rows — replay-idempotent."""
+def test_foreach_batch_sink_merges_hours_across_batches(spark, tmp_path):
+    """foreachBatch hourly sink: an hour whose events arrive in SEVERAL
+    micro-batches must keep every batch's contribution (the round-3
+    hour-partition overwrite silently replaced earlier batches' counts —
+    round-3 advisory, medium).  Two source files covering the SAME hours
+    are drained with maxFilesPerTrigger=1 (>= 2 batches), and the merged
+    reader output must equal the batch groundtruth over all files; then
+    a batch REPLAY (same batch_id, same rows — the at-least-once
+    delivery case the checkpoint contract actually produces) must leave
+    the totals unchanged."""
     import shutil
 
     from pyspark.sql import functions as F
 
-    from tei_chunker_spark.streaming.stream import hourly_foreach_batch_stream
+    from tei_chunker_spark.streaming.stream import (
+        hourly_batch_writer,
+        hourly_counts,
+    )
 
     src = tmp_path / "events"
     src.mkdir()
+    # two files, identical hour coverage -> every hour spans both batches
     shutil.copy("/root/testdata/sf0.001/events.parquet", src / "part-0.parquet")
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src / "part-1.parquet")
     out = str(tmp_path / "hourly_fb")
 
-    def drain(ck: str):
-        q = hourly_foreach_batch_stream(spark, str(src), str(tmp_path / ck), out)
-        assert q.awaitTermination(300)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(hourly_batch_writer(out))
+        .option("checkpointLocation", str(tmp_path / "ck_fb1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+
+    def totals():
         return {
             (r.hour, r.event_type): r.n_events
-            for r in spark.read.parquet(out).collect()
+            for r in hourly_counts(spark, out).collect()
         }
 
-    first = drain("ck_fb1")
     want = {
         (r.hour, r.event_type): r.n
-        for r in spark.read.parquet(str(src / "part-0.parquet"))
+        for r in spark.read.parquet(str(src))
         .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
-    assert first == want
-    # replay with a fresh checkpoint: same partitions overwritten, no dupes
-    assert drain("ck_fb2") == want
+    # at least two batches ran (one per file)
+    batch_ids = {
+        r.batch_id for r in spark.read.parquet(out).select("batch_id").collect()
+    }
+    assert len(batch_ids) >= 2, batch_ids
+    assert totals() == want
+    # replay of batch 0 with its own data: overwrites only its partitions
+    one_file = spark.read.parquet(str(src / "part-0.parquet"))
+    hourly_batch_writer(out)(one_file, min(batch_ids))
+    assert totals() == want
 
 
 def test_dedup_stream_drops_redeliveries(spark, tmp_path):
