@@ -399,6 +399,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["seq_pack"] = lambda spark, sf: corpusops.seq_pack(
         load(spark, sf, "documents"), budget=256, bucket_size=64
     )
+    q["seq_pack_hash"] = lambda spark, sf: corpusops.seq_pack_by_hash(
+        load(spark, sf, "documents"), budget=256
+    )
     q["stratified_sample"] = lambda spark, sf: _cast_long(
         corpusops.stratified_sample_census(load(spark, sf, "documents")),
         ["n_total", "n_sampled"],
@@ -1309,6 +1312,31 @@ c as (
     from t
 )
 select doc_id, n_tokens,
+       cast(cum_end - n_tokens as bigint) as start_offset,
+       cast((cum_end - n_tokens) // 256 as bigint) as first_pack,
+       cast(greatest(cum_end - 1, cum_end - n_tokens) // 256
+            - (cum_end - n_tokens) // 256 + 1 as bigint) as n_packs
+from c
+"""
+
+    # seq_pack_by_hash: string-id packing in (md5-nibble bucket, id) order;
+    # the oracle is again the naive single global running sum over that
+    # order — bit-equality proves the bucketed decomposition exact.
+    o["seq_pack_hash"] = f"""
+with t as (
+    select doc_id,
+           cast(doc_id as varchar) as sid,
+           cast((strpos('0123456789abcdef', substr(md5(cast(doc_id as varchar)), 1, 1)) - 1) * 16
+                + strpos('0123456789abcdef', substr(md5(cast(doc_id as varchar)), 2, 1)) - 1 as int) as bucket,
+           cast(case when length(trim(text)) = 0 then 0 else len({_TOKENS}) end as bigint) as n_tokens
+    from documents
+),
+c as (
+    select doc_id, bucket, n_tokens,
+           cast(sum(n_tokens) over (order by bucket, sid rows between unbounded preceding and current row) as bigint) as cum_end
+    from t
+)
+select doc_id, bucket, n_tokens,
        cast(cum_end - n_tokens as bigint) as start_offset,
        cast((cum_end - n_tokens) // 256 as bigint) as first_pack,
        cast(greatest(cum_end - 1, cum_end - n_tokens) // 256

@@ -94,6 +94,70 @@ def seq_pack(
     )
 
 
+def seq_pack_by_hash(documents: DataFrame, budget: int = 256) -> DataFrame:
+    """Sequence packing over a corpus whose ``doc_id`` is an arbitrary
+    STRING (the north-rule input table shape — ``seq_pack``'s
+    ``doc_id div bucket_size`` bucketing assumes numeric ids).  The
+    packing order is (hash bucket asc, doc_id asc): ids are spread
+    across 256 buckets by their first two md5 nibbles, which both
+    balances the buckets for any id distribution AND gives the
+    hash-shuffled corpus order a training pipeline wants anyway
+    (neighboring source documents land in different packs).
+
+    Same two-level distributed prefix sum as ``seq_pack`` — per-bucket
+    totals (one hash agg), exclusive offsets over the 256-row census
+    (the only unpartitioned window, never over the corpus), broadcast
+    back, per-bucket running sum.  Two md5 nibbles fix 256 buckets: the
+    per-bucket window partition is n_docs/256, so at 10^12 docs extend
+    to 4-5 nibbles (65k-1M buckets) — the census stays one task either
+    way.  The md5-nibble device is the same cross-engine-exact hash used
+    by stratified_sample_census / hash_split.
+    """
+    nib = (
+        "(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), {i}, 1)) - 1)"
+    )
+    docs = documents.select(
+        "doc_id",
+        F.col("doc_id").cast("string").alias("_sid"),
+        F.expr(f"{nib.format(i=1)} * 16 + {nib.format(i=2)}")
+        .cast("int")
+        .alias("bucket"),
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    totals = docs.groupBy("bucket").agg(F.sum("n_tokens").alias("bucket_total"))
+    offs = totals.withColumn(
+        "bucket_offset",
+        F.coalesce(
+            F.sum("bucket_total").over(
+                Window.orderBy("bucket").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0).cast("long"),
+        ),
+    ).select("bucket", "bucket_offset")
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("_sid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    packed = (
+        docs.join(F.broadcast(offs), "bucket")
+        .withColumn("cum_end", F.col("bucket_offset") + F.sum("n_tokens").over(w))
+        .withColumn("start_offset", F.col("cum_end") - F.col("n_tokens"))
+    )
+    first_pack = F.expr(f"start_offset div {int(budget)}")
+    last_pack = F.expr(f"greatest(cum_end - 1, start_offset) div {int(budget)}")
+    return packed.select(
+        "doc_id",
+        "bucket",
+        "n_tokens",
+        "start_offset",
+        first_pack.cast("long").alias("first_pack"),
+        (last_pack - first_pack + 1).cast("long").alias("n_packs"),
+    )
+
+
 # Per-language sampling thresholds out of 16 first-md5-nibble values —
 # the corpus-balancing knob (downsample the dominant language, keep the
 # rare ones).  Shared verbatim with the SQL oracle.

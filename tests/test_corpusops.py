@@ -161,3 +161,72 @@ def test_udtf_empty_text_emits_nothing(spark):
     rows = udtfs.doc_segments(spark, docs, width=20).collect()
     assert len(rows) == 1
     assert (rows[0].doc_id, rows[0].seg_text, rows[0].n_tokens) == (2, "one two", 2)
+
+
+# --- seq_pack_by_hash -------------------------------------------------------
+
+
+def test_seq_pack_hash_string_ids(spark):
+    """The whole point of the hash variant: packing composes with the
+    north-rule corpus whose doc_id is an arbitrary STRING (seq_pack's
+    `doc_id div bucket_size` cannot).  Offsets must be the exact
+    sequential layout in (md5-nibble bucket, doc_id) order."""
+    import hashlib
+
+    rows = [
+        (f"doc-{c}", " ".join(["w"] * n), "en")
+        for c, n in [("alpha", 3), ("beta", 0), ("gamma", 7), ("z/9", 5),
+                     ("Ω-unicode", 2), ("x", 1)]
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string, lang string")
+    got = {r.doc_id: r for r in corpusops.seq_pack_by_hash(docs, budget=4).collect()}
+
+    def bucket(s):
+        h = hashlib.md5(s.encode()).hexdigest()
+        return int(h[0], 16) * 16 + int(h[1], 16)
+
+    order = sorted((bucket(i), i) for i, _, _ in rows)
+    off = 0
+    for b, doc_id in order:
+        n = dict((i, len(t.split())) for i, t, _ in rows)[doc_id]
+        r = got[doc_id]
+        assert (r.bucket, r.n_tokens, r.start_offset) == (b, n, off), (doc_id, r)
+        first = off // 4
+        last = max(off + n - 1, off) // 4
+        assert (r.first_pack, r.n_packs) == (first, last - first + 1)
+        off += n
+    assert len(got) == len(rows)
+
+
+def test_seq_pack_hash_matches_naive_window(spark):
+    """Bucketed two-level prefix sum == a single global window over
+    (bucket, sid) order, on a larger corpus (the same invariance proof
+    style as seq_pack's)."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = corpusops.seq_pack_by_hash(docs, budget=256)
+    nib = "(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), {i}, 1)) - 1)"
+    naive_base = docs.select(
+        "doc_id",
+        F.col("doc_id").cast("string").alias("sid"),
+        F.expr(f"{nib.format(i=1)} * 16 + {nib.format(i=2)}").cast("int").alias("bucket"),
+        F.when(F.length(F.trim("text")) == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.trim("text"), r"\s+")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    w = Window.orderBy("bucket", "sid").rowsBetween(Window.unboundedPreceding, 0)
+    naive = naive_base.withColumn("cum_end", F.sum("n_tokens").over(w)).select(
+        "doc_id",
+        "bucket",
+        "n_tokens",
+        (F.col("cum_end") - F.col("n_tokens")).alias("start_offset"),
+        F.expr("(cum_end - n_tokens) div 256").cast("long").alias("first_pack"),
+        (
+            F.expr("greatest(cum_end - 1, cum_end - n_tokens) div 256")
+            - F.expr("(cum_end - n_tokens) div 256")
+            + 1
+        ).cast("long").alias("n_packs"),
+    )
+    assert got.exceptAll(naive).count() == 0 and naive.exceptAll(got).count() == 0
