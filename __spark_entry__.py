@@ -402,6 +402,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["seq_pack_hash"] = lambda spark, sf: corpusops.seq_pack_by_hash(
         load(spark, sf, "documents"), budget=256
     )
+    # deterministic pseudo-eval set: every 50th document acts as the
+    # held-out benchmark; the rest of the corpus is scanned against it
+    q["decontaminate"] = lambda spark, sf: corpusops.contamination_stats(
+        load(spark, sf, "documents").filter(F.col("doc_id") % 50 != 0),
+        load(spark, sf, "documents").filter(F.col("doc_id") % 50 == 0),
+        n=3,
+    )
     q["stratified_sample"] = lambda spark, sf: _cast_long(
         corpusops.stratified_sample_census(load(spark, sf, "documents")),
         ["n_total", "n_sampled"],
@@ -1317,6 +1324,37 @@ select doc_id, n_tokens,
        cast(greatest(cum_end - 1, cum_end - n_tokens) // 256
             - (cum_end - n_tokens) // 256 + 1 as bigint) as n_packs
 from c
+"""
+
+    # decontamination: per-train-doc trigram occurrences colliding with
+    # the (distinct) trigram set of the pseudo-eval slice (doc_id % 50)
+    o["decontaminate"] = f"""
+with tr as (select doc_id, text from documents where doc_id % 50 <> 0),
+ev as (select text from documents where doc_id % 50 = 0),
+tt as (select doc_id, {_TOKENS} as toks from tr),
+tg as (
+    select doc_id, toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] as gram
+    from tt, unnest(generate_series(1, cast(greatest(len(toks) - 2, 0) as int))) as u(i)
+),
+et as (select {_TOKENS} as toks from ev),
+eg as (
+    select distinct toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] as gram
+    from et, unnest(generate_series(1, cast(greatest(len(toks) - 2, 0) as int))) as u(i)
+),
+pd as (
+    select tg.doc_id,
+           cast(count(*) as bigint) as n_grams,
+           cast(sum(case when eg.gram is not null then 1 else 0 end) as bigint) as n_contaminated
+    from tg left join eg on tg.gram = eg.gram
+    group by tg.doc_id
+)
+select d.doc_id,
+       coalesce(pd.n_grams, 0) as n_grams,
+       coalesce(pd.n_contaminated, 0) as n_contaminated,
+       case when coalesce(pd.n_grams, 0) > 0
+            then round(pd.n_contaminated / pd.n_grams, 6) end as contamination
+from (select doc_id from tr) d
+left join pd on d.doc_id = pd.doc_id
 """
 
     # seq_pack_by_hash: string-id packing in (md5-nibble bucket, id) order;

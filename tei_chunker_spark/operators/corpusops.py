@@ -339,6 +339,62 @@ def doc_familiarity(documents: DataFrame, n: int = 2) -> DataFrame:
     )
 
 
+def contamination_stats(
+    train: DataFrame, eval_docs: DataFrame, n: int = 3
+) -> DataFrame:
+    """Benchmark decontamination scan: per TRAINING document, how many of
+    its word ``n``-gram occurrences also appear anywhere in the EVAL set
+    — the GPT-3/PaLM-style test-set-overlap filter every serious
+    training pipeline runs before a model sees the corpus (docs above a
+    contamination threshold get dropped or audited).
+
+    Shape at 100 TB: the eval side is benchmarks — tiny next to the
+    corpus — so its DISTINCT n-gram set broadcasts and the whole scan is
+    embarrassingly parallel: explode train grams (narrow), broadcast
+    left join against the eval gram set, one hash agg on doc_id.  The
+    single shuffle is the per-doc rollup on a uniform high-cardinality
+    key.  If the eval set ever outgrows broadcast, the identical plan
+    degrades gracefully to a shuffled equi-join on gram (AQE handles the
+    Zipf-head grams exactly as in doc_familiarity).  Documents with
+    fewer than ``n`` tokens have no grams: n_grams = 0, NULL ratio,
+    kept."""
+    tgrams = train.select(
+        "doc_id", F.explode(word_ngrams(tokens(F.col("text")), n)).alias("gram")
+    )
+    egrams = (
+        eval_docs.select(
+            F.explode(word_ngrams(tokens(F.col("text")), n)).alias("gram")
+        )
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    per_doc = (
+        tgrams.join(F.broadcast(egrams), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias(
+                "n_contaminated"
+            ),
+        )
+    )
+    return (
+        train.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0).cast("long")).alias("n_grams"),
+            F.coalesce("n_contaminated", F.lit(0).cast("long")).alias(
+                "n_contaminated"
+            ),
+            F.when(
+                F.col("n_grams") > 0,
+                F.round(F.col("n_contaminated") / F.col("n_grams"), 6),
+            ).alias("contamination"),
+        )
+    )
+
+
 def doc_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
     """Top-``k`` salient terms per document, ranked by (tf desc, df asc,
     term asc), with the tf-idf score reported alongside.

@@ -230,3 +230,45 @@ def test_seq_pack_hash_matches_naive_window(spark):
         ).cast("long").alias("n_packs"),
     )
     assert got.exceptAll(naive).count() == 0 and naive.exceptAll(got).count() == 0
+
+
+# --- contamination_stats ----------------------------------------------------
+
+
+def test_contamination_stats_counts_eval_overlap(spark):
+    """Crafted overlap: train doc 1 shares exactly one trigram occurrence
+    with the eval set, doc 2 shares all of them (verbatim leak), doc 3
+    none, doc 4 is too short for any trigram (NULL ratio, kept)."""
+    train = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps", "en"),      # 1 of 3 grams hit
+            (2, "secret eval answer key", "en"),          # verbatim leak
+            (3, "completely unrelated text here", "en"),
+            (4, "too short", "en"),
+        ],
+    )
+    ev = _docs(spark, [(100, "secret eval answer key trails the quick brown", "en")])
+    got = {r.doc_id: r for r in corpusops.contamination_stats(train, ev, n=3).collect()}
+    assert (got[1].n_grams, got[1].n_contaminated) == (3, 1)
+    assert got[1].contamination == round(1 / 3, 6)
+    assert (got[2].n_grams, got[2].n_contaminated, got[2].contamination) == (2, 2, 1.0)
+    assert (got[3].n_grams, got[3].n_contaminated) == (2, 0)
+    assert (got[4].n_grams, got[4].n_contaminated, got[4].contamination) == (0, 0, None)
+
+
+def test_contamination_broadcasts_eval_side(spark):
+    """The eval gram set must reach the train side via broadcast (the
+    100 TB plan: corpus never shuffles for the join; the only exchange
+    is the per-doc rollup)."""
+    from tei_chunker_spark.plans.explain import count_broadcasts, executed_plan
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = corpusops.contamination_stats(
+        docs.filter(F.col("doc_id") % 50 != 0),
+        docs.filter(F.col("doc_id") % 50 == 0),
+        n=3,
+    )
+    plan = executed_plan(out)
+    assert count_broadcasts(out) >= 1
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
