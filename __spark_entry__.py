@@ -402,6 +402,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["seq_pack_hash"] = lambda spark, sf: corpusops.seq_pack_by_hash(
         load(spark, sf, "documents"), budget=256
     )
+    q["doc_repetition"] = lambda spark, sf: corpusops.doc_repetition(
+        load(spark, sf, "documents")
+    )
     # deterministic pseudo-eval set: every 50th document acts as the
     # held-out benchmark; the rest of the corpus is scanned against it
     q["decontaminate"] = lambda spark, sf: corpusops.contamination_stats(
@@ -1324,6 +1327,44 @@ select doc_id, n_tokens,
        cast(greatest(cum_end - 1, cum_end - n_tokens) // 256
             - (cum_end - n_tokens) // 256 + 1 as bigint) as n_packs
 from c
+"""
+
+    # Gopher-style repetition signals (top-unigram / duplicate-bigram
+    # fractions); token domain filters out the ''-token like doc_top_terms
+    o["doc_repetition"] = f"""
+with toks as (
+    select doc_id, t.term
+    from (select doc_id, {_TOKENS} as tk from documents) s, unnest(s.tk) as t(term)
+    where length(t.term) > 0
+),
+uni as (
+    select doc_id, cast(sum(cnt) as bigint) as n_tokens,
+           cast(max(cnt) as bigint) as top_cnt
+    from (select doc_id, term, count(*) as cnt from toks group by doc_id, term)
+    group by doc_id
+),
+tt as (select doc_id, {_TOKENS} as tk from documents),
+bg as (
+    select doc_id, tk[i] || ' ' || tk[i + 1] as gram
+    from tt, unnest(generate_series(1, cast(greatest(len(tk) - 1, 0) as int))) as u(i)
+),
+bi as (
+    select doc_id, cast(sum(cnt) as bigint) as n_bigrams,
+           cast(count(*) as bigint) as n_distinct_bigrams
+    from (select doc_id, gram, count(*) as cnt from bg group by doc_id, gram)
+    group by doc_id
+)
+select d.doc_id,
+       coalesce(uni.n_tokens, 0) as n_tokens,
+       case when coalesce(uni.n_tokens, 0) > 0
+            then round(uni.top_cnt / uni.n_tokens, 6) end as top_unigram_frac,
+       coalesce(bi.n_bigrams, 0) as n_bigrams,
+       case when coalesce(bi.n_bigrams, 0) > 0
+            then round((bi.n_bigrams - bi.n_distinct_bigrams) / bi.n_bigrams, 6)
+       end as dup_bigram_frac
+from (select doc_id from documents) d
+left join uni on d.doc_id = uni.doc_id
+left join bi on d.doc_id = bi.doc_id
 """
 
     # decontamination: per-train-doc trigram occurrences colliding with

@@ -395,6 +395,69 @@ def contamination_stats(
     )
 
 
+def doc_repetition(documents: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals per document: the fraction of the
+    document occupied by its single most frequent token
+    (``top_unigram_frac``) and the fraction of bigram occurrences that
+    are repeats of an earlier bigram in the same document
+    (``dup_bigram_frac``) — the two cheapest of the Rae et al. (Gopher)
+    repetition filters that catch keyword-stuffed spam and looping
+    generations.  Deterministic rationals rounded at 6; documents with
+    no tokens/bigrams get NULL for the undefined ratio and are kept.
+
+    Shape at 100 TB: two explode + hash-agg pipelines keyed on
+    (doc_id, gram) — high-cardinality uniform keys, map-side partials —
+    each rolled up to doc_id, then one join of two per-doc tables on the
+    uniform doc_id key.  No windows, no low-cardinality partitions."""
+    toks = documents.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    ).filter(F.length("term") > 0)
+    uni = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.max("cnt").cast("long").alias("top_cnt"),
+        )
+    )
+    bi = (
+        documents.select(
+            "doc_id",
+            F.explode(word_ngrams(tokens(F.col("text")), 2)).alias("gram"),
+        )
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_bigrams"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_bigrams"),
+        )
+    )
+    return (
+        documents.select("doc_id")
+        .join(uni, "doc_id", "left")
+        .join(bi, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(F.col("top_cnt") / F.col("n_tokens"), 6),
+            ).alias("top_unigram_frac"),
+            F.coalesce("n_bigrams", F.lit(0).cast("long")).alias("n_bigrams"),
+            F.when(
+                F.col("n_bigrams") > 0,
+                F.round(
+                    (F.col("n_bigrams") - F.col("n_distinct_bigrams"))
+                    / F.col("n_bigrams"),
+                    6,
+                ),
+            ).alias("dup_bigram_frac"),
+        )
+    )
+
+
 def doc_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
     """Top-``k`` salient terms per document, ranked by (tf desc, df asc,
     term asc), with the tf-idf score reported alongside.

@@ -272,3 +272,24 @@ def test_contamination_broadcasts_eval_side(spark):
     plan = executed_plan(out)
     assert count_broadcasts(out) >= 1
     assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
+
+
+def test_doc_repetition_crafted(spark):
+    """spam spam spam x -> top unigram 3/4; 'a b a b a b' has 5 bigram
+    occurrences of 2 distinct -> dup fraction 3/5; empty doc keeps NULLs."""
+    docs = _docs(
+        spark,
+        [
+            (1, "spam spam spam x", "en"),
+            (2, "a b a b a b", "en"),
+            (3, "   ", "en"),
+            (4, "unique words only here", "en"),
+        ],
+    )
+    got = {r.doc_id: r for r in corpusops.doc_repetition(docs).collect()}
+    assert (got[1].n_tokens, got[1].top_unigram_frac) == (4, 0.75)
+    assert (got[2].n_bigrams, got[2].dup_bigram_frac) == (5, 0.6)
+    assert (got[3].n_tokens, got[3].top_unigram_frac, got[3].dup_bigram_frac) == (
+        0, None, None,
+    )
+    assert (got[4].top_unigram_frac, got[4].dup_bigram_frac) == (0.25, 0.0)
