@@ -22,21 +22,41 @@ from pyspark.sql import functions as F
 # --- tokens ---------------------------------------------------------------
 
 
+def ws_trimmed(col: Column) -> Column:
+    """``col`` with ALL leading/trailing whitespace removed.  ``trim()``
+    strips ASCII spaces only, so a document ending in "\\n" (i.e. nearly
+    every real document) kept a phantom '' token after the split —
+    inflating token counts by ~1/doc and creating phantom n-grams of
+    empty tokens (round-4 randomized-corpus find).  The regex is
+    JVM-codegen'd, unlike an interpreted ``filter()`` HOF pass.
+    DuckDB: regexp_replace(x, '^\\s+|\\s+$', '', 'g') (DuckDB replaces
+    only the first match without the 'g' flag)."""
+    return F.regexp_replace(col, r"^\s+|\s+$", "")
+
+
+def is_blank(col: Column) -> Column:
+    """True for empty or all-whitespace text (the emptiness guard paired
+    with ``tokens``; ``length(trim(x)) == 0`` misses "\\n").
+    DuckDB: regexp_matches(x, '^\\s*$')."""
+    return col.rlike(r"^\s*$")
+
+
 def tokens(col: Column) -> Column:
-    """Whitespace tokens. DuckDB: string_split_regex(trim(x), '\\s+')."""
-    return F.split(F.trim(col), r"\s+")
+    """Whitespace tokens — agrees with Python ``str.split()`` except for
+    blank documents, where it yields ``['']`` (guarded at every use via
+    ``is_blank`` / the word_ngrams length guard).
+    DuckDB: string_split_regex(<ws_trimmed>, '\\s+')."""
+    return F.split(ws_trimmed(col), r"\s+")
 
 
 def token_count(col: Column) -> Column:
-    """Whitespace-token count with the empty-string guard (split('') is
-    [''], size 1 — the guard makes the empty document count 0).  NOTE:
+    """Whitespace-token count with the blank guard (split('') is [''],
+    size 1 — the guard makes the blank document count 0).  NOTE:
     operators that already materialized the token array behind a
     generator barrier (textstats._with_tokens) inline this formula against
     the materialized column instead of calling it — calling it there
     would re-split the text."""
-    return F.when(F.length(F.trim(col)) == 0, F.lit(0)).otherwise(
-        F.size(tokens(col))
-    )
+    return F.when(is_blank(col), F.lit(0)).otherwise(F.size(tokens(col)))
 
 
 BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from ..functions.columns import (
     bpe_ish_count,
     char_shingles,
+    is_blank,
     tokens,
 )
 
@@ -56,7 +57,7 @@ def doc_stats(documents: DataFrame) -> DataFrame:
     """Per-document surface statistics (one pass over the token array)."""
     text = F.col("text")
     tok = F.col("tok")
-    n_tokens = F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(F.size(tok))
+    n_tokens = F.when(is_blank(text), F.lit(0)).otherwise(F.size(tok))
     return _with_tokens(documents).select(
         "doc_id",
         F.length(text).alias("char_len"),
@@ -88,7 +89,7 @@ def doc_quality(documents: DataFrame, min_score: float | None = None) -> DataFra
     text = F.col("text")
     tok = F.col("tok")
     n_tok = (
-        F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(F.size(tok))
+        F.when(is_blank(text), F.lit(0)).otherwise(F.size(tok))
     ).cast("double")
     guarded = lambda c: F.when((n_tok > 0) & (F.length(text) > 0), c)  # noqa: E731
     distinct_ratio = guarded(F.size(F.array_distinct(tok)) / n_tok)
@@ -209,7 +210,7 @@ def _simhash_packed_sql(text_col: str) -> str:
     lookup = "array({})".format(", ".join(f"{v}L" for v in _NIBBLE_LANES))
     return f"""
 aggregate(
-  transform(array_distinct(split(trim({text_col}), '\\\\s+')), t -> md5(t)),
+  transform(array_distinct(split(regexp_replace({text_col}, '^\\\\s+|\\\\s+$', ''), '\\\\s+')), t -> md5(t)),
   array_repeat(cast(0 as bigint), 17),
   (acc, h) -> transform(acc, (a, i) ->
       if(i < 16,

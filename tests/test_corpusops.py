@@ -293,3 +293,101 @@ def test_doc_repetition_crafted(spark):
         0, None, None,
     )
     assert (got[4].top_unigram_frac, got[4].dup_bigram_frac) == (0.25, 0.0)
+
+
+# --- randomized-corpus equivalence vs pure-Python references ----------------
+
+
+def _random_corpus(n=60, seed=7):
+    """Seeded adversarial corpus: empty/whitespace docs, heavy repeats,
+    unicode, newlines, single tokens — the shapes fixed fixtures miss."""
+    import random
+
+    rng = random.Random(seed)
+    vocab = ["alpha", "beta", "Ω", "x1", "the", "of", "naïve", "a,b", "<tag>"]
+    rows = []
+    for i in range(n):
+        kind = rng.randrange(6)
+        if kind == 0:
+            text = ""
+        elif kind == 1:
+            text = "   \n  "
+        elif kind == 2:
+            text = vocab[rng.randrange(len(vocab))]
+        elif kind == 3:
+            w = vocab[rng.randrange(len(vocab))]
+            text = " ".join([w] * rng.randrange(1, 12))
+        else:
+            text = " ".join(
+                vocab[rng.randrange(len(vocab))] for _ in range(rng.randrange(2, 30))
+            )
+        rows.append((i, text, "en"))
+    return rows
+
+
+def _pygrams(text, n):
+    toks = text.split()
+    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+
+def test_contamination_matches_python_on_random_corpus(spark):
+    rows = _random_corpus()
+    train_rows = [r for r in rows if r[0] % 5 != 0]
+    eval_rows = [r for r in rows if r[0] % 5 == 0]
+    got = {
+        r.doc_id: (r.n_grams, r.n_contaminated, r.contamination)
+        for r in corpusops.contamination_stats(
+            _docs(spark, train_rows), _docs(spark, eval_rows), n=2
+        ).collect()
+    }
+    eval_grams = {g for _, t, _ in eval_rows for g in _pygrams(t, 2)}
+    for doc_id, text, _ in train_rows:
+        grams = _pygrams(text, 2)
+        hits = sum(1 for g in grams if g in eval_grams)
+        ratio = round(hits / len(grams), 6) if grams else None
+        assert got[doc_id] == (len(grams), hits, ratio), (doc_id, text)
+
+
+def test_doc_repetition_matches_python_on_random_corpus(spark):
+    from collections import Counter
+
+    rows = _random_corpus(seed=11)
+    got = {
+        r.doc_id: (r.n_tokens, r.top_unigram_frac, r.n_bigrams, r.dup_bigram_frac)
+        for r in corpusops.doc_repetition(_docs(spark, rows)).collect()
+    }
+    for doc_id, text, _ in rows:
+        toks = text.split()
+        uni = Counter(toks)
+        top = round(max(uni.values()) / len(toks), 6) if toks else None
+        bi = Counter(_pygrams(text, 2))
+        nb = sum(bi.values())
+        dup = round((nb - len(bi)) / nb, 6) if nb else None
+        assert got[doc_id] == (len(toks), top, nb, dup), (doc_id, text)
+
+
+def test_seq_pack_hash_matches_python_on_random_corpus(spark):
+    import hashlib
+
+    rows = _random_corpus(seed=13)
+    docs = spark.createDataFrame(
+        [(f"id-{i}", t, l) for i, t, l in rows],
+        "doc_id string, text string, lang string",
+    )
+    got = {r.doc_id: r for r in corpusops.seq_pack_by_hash(docs, budget=7).collect()}
+
+    def bucket(s):
+        h = hashlib.md5(s.encode()).hexdigest()
+        return int(h[0], 16) * 16 + int(h[1], 16)
+
+    order = sorted((bucket(f"id-{i}"), f"id-{i}", t) for i, t, _ in rows)
+    off = 0
+    for b, sid, text in order:
+        n = len(text.split())
+        r = got[sid]
+        first = off // 7
+        last = max(off + n - 1, off) // 7
+        assert (r.bucket, r.n_tokens, r.start_offset, r.first_pack, r.n_packs) == (
+            b, n, off, first, last - first + 1,
+        ), (sid, text)
+        off += n
