@@ -350,6 +350,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load(spark, sf, "events"), bin_width=0.05
     )
     q["events_asof_enrich"] = lambda spark, sf: _asof_enrich(spark, sf)
+    q["events_asof_bucketed"] = lambda spark, sf: _asof_enrich(
+        spark, sf, bucketed=True
+    )
     q["revenue_filter_agg"] = lambda spark, sf: relational.revenue_filter_agg(
         load(spark, sf, "lineitem")
     )
@@ -437,11 +440,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return q
 
 
-def _asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _asof_enrich(
+    spark: SparkSession, sf_dir: str, bucketed: bool = False
+) -> DataFrame:
     """Each event enriched with the PREVIOUS completed hour's average value
     for its type — the canonical as-of join (latest right row at-or-before
-    the event's timestamp)."""
-    from tei_chunker_spark.operators.asof import asof_join
+    the event's timestamp).  ``bucketed`` runs the scale-safe
+    time-bucketed variant (event_type has FIVE values, so the plain
+    per-key window serializes a fifth of all events on one task at
+    100 TB); both are registered, oracled against the same DuckDB native
+    ASOF JOIN, and must produce identical rows."""
+    from tei_chunker_spark.operators.asof import asof_join, asof_join_bucketed
 
     events = load(spark, sf_dir, "events")
     # Exact-decimal sum, then one double division: a plain avg(double) is
@@ -461,7 +470,8 @@ def _asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("hour_end", F.col("hour") + F.expr("INTERVAL 1 HOUR"))
     )
-    joined = asof_join(
+    join_fn = asof_join_bucketed if bucketed else asof_join
+    joined = join_fn(
         events.select("event_id", "ts", "event_type"),
         hourly.select("event_type", "hour_end", "prev_hour_avg"),
         key="event_type",
@@ -1194,6 +1204,9 @@ from events e
 asof left join hourly h
   on e.event_type = h.event_type and e.ts >= h.hour_end
 """
+
+    # the bucketed variant must reproduce the same native ASOF JOIN
+    o["events_asof_bucketed"] = o["events_asof_enrich"]
 
     o["revenue_filter_agg"] = """
 select round(cast(sum(cast(l_extendedprice * l_discount as decimal(25,10))) as double), 2) as revenue,

@@ -85,3 +85,130 @@ def asof_join(
     filled = merged.withColumn("_match", F.last("_payload", ignorenulls=True).over(w))
     out = filled.filter(F.col("_side") == 1).select("_row.*", "_match.*")
     return out
+
+
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: List[str],
+    bucket_seconds: int = 86400,
+    validate: bool = False,
+) -> DataFrame:
+    """Scale-safe as-of join for LOW-cardinality keys, output-identical
+    to ``asof_join``.
+
+    The plain union + last-over-window shape partitions on the join key
+    alone — correct, but with a handful of key values (instrument
+    symbols, event types) one key's ENTIRE history lands on one task at
+    100 TB.  This variant applies the engine's two-level device
+    (seq_pack's): windows run per (key, time bucket) — splittable by
+    ``bucket_seconds`` — and the cross-bucket dependency is carried by a
+    per-key census pass over buckets, a table with one row per (key,
+    active bucket), orders of magnitude smaller than the data:
+
+      1. bucket both sides: b = floor(epoch_micros / bucket
+         width) (pmod-corrected integer floor — exact, sign-safe);
+      2. rights-per-bucket LAST payload: one hash aggregate
+         (``max_by(payload, ts)``; rights unique per (key, ts));
+      3. carry-in per (key, bucket) over the census of ALL active
+         buckets (either side): last non-null bucket-final payload from
+         any EARLIER bucket — the only per-key ordered window, over the
+         census, never the data;
+      4. within each (key, bucket): the same union + last-ignorenulls
+         window as the plain shape, then coalesce with the carry-in.
+
+    A left row's match is the within-bucket last right if one precedes
+    it, else the carry-in — exactly the global last-at-or-before.
+    ``bucket_seconds`` sizes the stage-4 partitions: pick data-span /
+    bucket_seconds >> cores (correctness is invariant to it —
+    test_asof_bucketed_equals_plain sweeps widths)."""
+    clash = set(payload_cols) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"payload_cols {sorted(clash)} collide with left columns; "
+            "rename or prefix the right-side payload"
+        )
+    if validate:
+        dup = (
+            right.groupBy(key, right_ts)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                f"asof_join_bucketed: right side has duplicate ({key}, "
+                f"{right_ts}) rows — deduplicate or aggregate first"
+            )
+    width_us = int(bucket_seconds) * 1_000_000
+
+    def bucketed(df: DataFrame, ts: str) -> DataFrame:
+        us = F.unix_micros(F.col(ts).cast("timestamp"))
+        # exact floor for any sign: (us - pmod(us, W)) is a multiple of W
+        # and the quotient is small, so the double division is exact
+        return df.withColumn(
+            "_b", ((us - F.pmod(us, F.lit(width_us))) / F.lit(width_us)).cast("long")
+        )
+
+    payload = F.struct(*[F.col(c) for c in payload_cols])
+    r = bucketed(
+        right.select(
+            F.col(key).alias("_k"),
+            F.col(right_ts).alias("_ts"),
+            F.lit(0).alias("_side"),
+            payload.alias("_payload"),
+        ),
+        "_ts",
+    )
+    l = bucketed(  # noqa: E741
+        left.select(
+            F.col(key).alias("_k"),
+            F.col(left_ts).alias("_ts"),
+            F.lit(1).alias("_side"),
+            F.lit(None).cast(r.schema["_payload"].dataType).alias("_payload"),
+            F.struct(*[F.col(c) for c in left.columns]).alias("_row"),
+        ),
+        "_ts",
+    )
+    # (2) bucket-final right payload, one hash agg (map-side partials)
+    rlast = r.groupBy("_k", "_b").agg(
+        F.max_by("_payload", F.col("_ts")).alias("_bucket_last")
+    )
+    # (3) census of active buckets on either side; carry-in = last
+    # bucket-final payload from any strictly earlier bucket.  The ONLY
+    # per-key ordered window, over the census table.
+    census = (
+        r.select("_k", "_b")
+        .unionByName(l.select("_k", "_b"))
+        .distinct()
+        .join(rlast, ["_k", "_b"], "left")
+    )
+    w_census = (
+        Window.partitionBy("_k").orderBy("_b").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+    )
+    carry = census.select(
+        "_k",
+        "_b",
+        F.last("_bucket_last", ignorenulls=True).over(w_census).alias("_carry"),
+    )
+    # (4) per-(key, bucket) window + carry coalesce
+    merged = r.withColumn(
+        "_row", F.lit(None).cast(l.schema["_row"].dataType)
+    ).unionByName(l)
+    w = (
+        Window.partitionBy("_k", "_b")
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = (
+        merged.withColumn("_local", F.last("_payload", ignorenulls=True).over(w))
+        .join(carry, ["_k", "_b"])
+        .withColumn("_match", F.coalesce("_local", "_carry"))
+    )
+    return filled.filter(F.col("_side") == 1).select("_row.*", "_match.*")

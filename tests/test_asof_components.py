@@ -87,3 +87,88 @@ def test_asof_payload_collision_rejected(spark):
 
     with pytest.raises(ValueError, match="collide"):
         asof_join(left, right, "k", "ts", "rts", ["id"])
+
+
+def test_asof_bucketed_equals_plain_across_widths(spark):
+    """asof_join_bucketed must be row-identical to the plain shape for
+    ANY bucket width (the width is a physical knob): swept from
+    one-bucket-per-hour through one-bucket-for-everything, on the real
+    events table keyed by the 5-value event_type — exactly the
+    low-cardinality case the bucketed variant exists for."""
+    from pyspark.sql import functions as F
+
+    from tei_chunker_spark.operators.asof import asof_join, asof_join_bucketed
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    hourly = (
+        events.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.avg("value").alias("avg_v"))
+        .withColumn("hour_end", F.col("hour") + F.expr("INTERVAL 1 HOUR"))
+        .select("event_type", "hour_end", "avg_v")
+    )
+    lefts = events.select("event_id", "ts", "event_type")
+    plain = asof_join(
+        lefts, hourly, key="event_type", left_ts="ts", right_ts="hour_end",
+        payload_cols=["avg_v"],
+    )
+    want = sorted(map(tuple, plain.collect()))
+    for width in (3600, 86400, 10**9):
+        got = asof_join_bucketed(
+            lefts, hourly, key="event_type", left_ts="ts",
+            right_ts="hour_end", payload_cols=["avg_v"],
+            bucket_seconds=width,
+        )
+        assert sorted(map(tuple, got.collect())) == want, width
+
+
+def test_asof_bucketed_carry_across_empty_buckets(spark):
+    """A left row several empty buckets after the last right must still
+    match it (carry-in threads through bucket gaps); a left before any
+    right gets NULL."""
+    from tei_chunker_spark.operators.asof import asof_join_bucketed
+
+    right = spark.createDataFrame(
+        [("k", 1_000, 1.0), ("k", 2_000, 2.0)], "k string, rts long, pay double"
+    )
+    left = spark.createDataFrame(
+        [("k", 500), ("k", 1_500), ("k", 900_000_000), ("x", 5_000)],
+        "k string, lts long",
+    )
+    got = {
+        (r.k, r.lts): r.pay
+        for r in asof_join_bucketed(
+            left, right, key="k", left_ts="lts", right_ts="rts",
+            payload_cols=["pay"], bucket_seconds=60,
+        ).collect()
+    }
+    assert got[("k", 500)] is None          # before any right
+    assert got[("k", 1_500)] == 1.0          # within-bucket last
+    assert got[("k", 900_000_000)] == 2.0    # carried across ~170 empty buckets
+    assert got[("x", 5_000)] is None         # key with no rights at all
+
+
+def test_asof_bucketed_plan_has_no_bare_key_window_over_data(spark):
+    """The data-side window must be partitioned (key, bucket); the only
+    bare-key window runs over the bucket census (input: an aggregate +
+    distinct, not the event scan)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from tei_chunker_spark.operators.asof import asof_join_bucketed
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    hourly = (
+        events.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.avg("value").alias("avg_v"))
+        .withColumn("hour_end", F.col("hour") + F.expr("INTERVAL 1 HOUR"))
+        .select("event_type", "hour_end", "avg_v")
+    )
+    out = asof_join_bucketed(
+        events.select("event_id", "ts", "event_type"), hourly,
+        key="event_type", left_ts="ts", right_ts="hour_end",
+        payload_cols=["avg_v"],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    keys = re.findall(r"windowspecdefinition\((_k#\d+(?:, _b#\d+L?)?),", plan)
+    assert sorted(k.count("_b") for k in keys) == [0, 1], keys
