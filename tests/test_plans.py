@@ -274,3 +274,23 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS bt_docs")
         spark.sql("DROP TABLE IF EXISTS bt_stats")
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """The three join-strategy hints each produce their named physical
+    operator on the same query — the manual override surface for when
+    the optimizer's size estimates are wrong (a misestimated 100 TB side
+    accidentally broadcast is an OOM; a small side not broadcast is a
+    pointless shuffle)."""
+    left = spark.range(0, 10_000).select(F.col("id").alias("k"), F.lit("l").alias("lv"))
+    right = spark.range(0, 100).select(F.col("id").alias("k"), F.lit("r").alias("rv"))
+    cases = {
+        "broadcast": "BroadcastHashJoin",
+        "merge": "SortMergeJoin",
+        "shuffle_hash": "ShuffledHashJoin",
+    }
+    for hint, node in cases.items():
+        j = left.join(right.hint(hint), "k")
+        assert j.count() == 100
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert node in plan, (hint, plan)
