@@ -162,7 +162,9 @@ _NEAR_AUG_SQL = (
 # whitespace-robust: regexp_replace strips ALL leading/trailing
 # whitespace (trim() is ASCII-space-only — a trailing \n kept a phantom
 # '' token); 'g' flag because DuckDB replaces only the first match
-_TOKENS = "string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')"
+# explicit ASCII-ws class: RE2's \s excludes \x0b while Java's
+# includes it (see functions/columns.py::WS_CLASS)
+_TOKENS = "string_split_regex(regexp_replace(text, '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g'), '[ \t\n\x0b\f\r]+')"
 # 64-bit simhash: bit b (0..63) from hex char b//4+1 of each token's md5,
 # bit b%4; set when the +/-1 vote sum is strictly positive.  Same nibble
 # domain as tei_chunker_spark.operators.textstats.simhash64.
@@ -555,9 +557,9 @@ from n, unnest(generate_series(0, nf - 1)) as t(i)
     o["doc_stats"] = f"""
 select doc_id,
        cast(length(text) as bigint) as char_len,
-       cast(case when regexp_matches(text, '^\s*$') then 0 else len({_TOKENS}) end as bigint) as n_tokens,
+       cast(case when regexp_matches(text, '^[ \t\n\x0b\f\r]*$') then 0 else len({_TOKENS}) end as bigint) as n_tokens,
        cast(len(list_distinct({_TOKENS})) as bigint) as n_distinct_tokens,
-       cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) as bigint) as n_bpe_tokens,
+       cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\x0b\f\r]')) as bigint) as n_bpe_tokens,
        case when length(text) > 0
             then round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text), 6)
        end as alpha_ratio,
@@ -568,7 +570,7 @@ from documents
     o["doc_quality"] = f"""
 with t as (
     select doc_id,
-           case when regexp_matches(text, '^\s*$') then 0 else len({_TOKENS}) end as n_tok,
+           case when regexp_matches(text, '^[ \t\n\x0b\f\r]*$') then 0 else len({_TOKENS}) end as n_tok,
            len(list_distinct({_TOKENS})) as n_distinct,
            length(text) as n_chars,
            length(regexp_replace(text, '[^A-Za-z]', '', 'g')) as n_alpha
@@ -1329,7 +1331,7 @@ group by n_name
     o["seq_pack"] = f"""
 with t as (
     select doc_id,
-           cast(case when regexp_matches(text, '^\s*$') then 0 else len({_TOKENS}) end as bigint) as n_tokens
+           cast(case when regexp_matches(text, '^[ \t\n\x0b\f\r]*$') then 0 else len({_TOKENS}) end as bigint) as n_tokens
     from documents
 ),
 c as (
@@ -1423,7 +1425,7 @@ with t as (
            cast(doc_id as varchar) as sid,
            cast((strpos('0123456789abcdef', substr(md5(cast(doc_id as varchar)), 1, 1)) - 1) * 16
                 + strpos('0123456789abcdef', substr(md5(cast(doc_id as varchar)), 2, 1)) - 1 as int) as bucket,
-           cast(case when regexp_matches(text, '^\s*$') then 0 else len({_TOKENS}) end as bigint) as n_tokens
+           cast(case when regexp_matches(text, '^[ \t\n\x0b\f\r]*$') then 0 else len({_TOKENS}) end as bigint) as n_tokens
     from documents
 ),
 c as (
@@ -1544,7 +1546,7 @@ from r where rank <= 3
     o["doc_segments_udtf"] = f"""
 with t as (
     select doc_id, {_TOKENS} as toks
-    from documents where not regexp_matches(text, '^\s*$')
+    from documents where not regexp_matches(text, '^[ \t\n\x0b\f\r]*$')
 )
 select doc_id, cast(i as int) as seg_idx,
        array_to_string(toks[i * 20 + 1 : least((i + 1) * 20, len(toks))], ' ') as seg_text,

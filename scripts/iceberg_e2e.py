@@ -80,7 +80,13 @@ def find_local_iceberg_jar() -> str | None:
             f"ICEBERG_JAR_SKIPPED: cached jar(s) {sorted(set(map(os.path.basename, candidates)))} "
             f"do not match running Spark {spark_mm}"
         )
-    return max(matched, key=os.path.basename) if matched else None
+
+    def version_key(path: str) -> tuple:
+        # numeric tuple, not lexicographic ('1.10.0' > '1.9.1')
+        m = re.search(r"-(\d+(?:\.\d+)*)\.jar$", os.path.basename(path))
+        return tuple(int(x) for x in m.group(1).split(".")) if m else ()
+
+    return max(matched, key=version_key) if matched else None
 
 
 def dry_run(spark, n_docs: int = 200) -> int:

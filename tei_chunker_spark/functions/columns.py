@@ -22,6 +22,20 @@ from pyspark.sql import functions as F
 # --- tokens ---------------------------------------------------------------
 
 
+# The engine's whitespace definition, spelled as an EXPLICIT character
+# class because the two regex engines disagree on the \s shorthand:
+# Java (Spark) \s = [ \t\n\x0B\f\r] but RE2 (DuckDB oracle) \s excludes
+# vertical tab — a document containing U+000B would pass Spark-side
+# blank/token logic and fail every token oracle (round-4 review find,
+# empirically confirmed on chr(11)).  Java-regex spelling here; the SQL
+# oracles spell the identical class as '[ \t\n\x0b\f\r]' (DuckDB passes
+# backslashes through to RE2 uninterpreted).  Deliberately ASCII-only on
+# BOTH engines — unlike Python str.split(), which also splits on Unicode
+# whitespace (NBSP, U+2028, ...); Python-side references must use
+# re.split on this class, not .split().
+WS_CLASS = r" \t\n\x0B\f\r"
+
+
 def ws_trimmed(col: Column) -> Column:
     """``col`` with ALL leading/trailing whitespace removed.  ``trim()``
     strips ASCII spaces only, so a document ending in "\\n" (i.e. nearly
@@ -29,24 +43,25 @@ def ws_trimmed(col: Column) -> Column:
     inflating token counts by ~1/doc and creating phantom n-grams of
     empty tokens (round-4 randomized-corpus find).  The regex is
     JVM-codegen'd, unlike an interpreted ``filter()`` HOF pass.
-    DuckDB: regexp_replace(x, '^\\s+|\\s+$', '', 'g') (DuckDB replaces
-    only the first match without the 'g' flag)."""
-    return F.regexp_replace(col, r"^\s+|\s+$", "")
+    DuckDB: regexp_replace(x, '^[ \\t\\n\\x0b\\f\\r]+|[ \\t\\n\\x0b\\f\\r]+$', '', 'g')
+    ('g' because DuckDB replaces only the first match without it)."""
+    return F.regexp_replace(col, rf"^[{WS_CLASS}]+|[{WS_CLASS}]+$", "")
 
 
 def is_blank(col: Column) -> Column:
     """True for empty or all-whitespace text (the emptiness guard paired
     with ``tokens``; ``length(trim(x)) == 0`` misses "\\n").
-    DuckDB: regexp_matches(x, '^\\s*$')."""
-    return col.rlike(r"^\s*$")
+    DuckDB: regexp_matches(x, '^[ \\t\\n\\x0b\\f\\r]*$')."""
+    return col.rlike(rf"^[{WS_CLASS}]*$")
 
 
 def tokens(col: Column) -> Column:
-    """Whitespace tokens — agrees with Python ``str.split()`` except for
-    blank documents, where it yields ``['']`` (guarded at every use via
-    ``is_blank`` / the word_ngrams length guard).
-    DuckDB: string_split_regex(<ws_trimmed>, '\\s+')."""
-    return F.split(ws_trimmed(col), r"\s+")
+    """ASCII-whitespace tokens (see WS_CLASS for the exact definition and
+    why it is not Python ``str.split()``).  Blank documents yield
+    ``['']`` — guarded at every use via ``is_blank`` / the word_ngrams
+    length guard.
+    DuckDB: string_split_regex(<ws_trimmed>, '[ \\t\\n\\x0b\\f\\r]+')."""
+    return F.split(ws_trimmed(col), rf"[{WS_CLASS}]+")
 
 
 def token_count(col: Column) -> Column:
@@ -59,7 +74,9 @@ def token_count(col: Column) -> Column:
     return F.when(is_blank(col), F.lit(0)).otherwise(F.size(tokens(col)))
 
 
-BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+# Same explicit-class reasoning as WS_CLASS: [^...\s] would silently
+# count U+000B as punctuation in RE2 but not in Java.
+BPE_ISH_PATTERN = rf"[A-Za-z]+|[0-9]|[^A-Za-z0-9{WS_CLASS}]"
 
 
 def bpe_ish_count(col: Column) -> Column:

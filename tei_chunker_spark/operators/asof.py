@@ -181,11 +181,23 @@ def asof_join_bucketed(
     # (3) census of active buckets on either side; carry-in = last
     # bucket-final payload from any strictly earlier bucket.  The ONLY
     # per-key ordered window, over the census table.
+    # null-safe: NULL-key / NULL-bucket rights are real groups (the
+    # plain shape's NULLS-FIRST ordering matches them) and a standard
+    # equality join would strand their bucket-final payloads
+    rlast_r = rlast.select(
+        F.col("_k").alias("_rk"), F.col("_b").alias("_rb"), "_bucket_last"
+    )
     census = (
         r.select("_k", "_b")
         .unionByName(l.select("_k", "_b"))
         .distinct()
-        .join(rlast, ["_k", "_b"], "left")
+        .join(
+            rlast_r,
+            F.col("_k").eqNullSafe(F.col("_rk"))
+            & F.col("_b").eqNullSafe(F.col("_rb")),
+            "left",
+        )
+        .drop("_rk", "_rb")
     )
     w_census = (
         Window.partitionBy("_k").orderBy("_b").rowsBetween(
@@ -197,7 +209,14 @@ def asof_join_bucketed(
         "_b",
         F.last("_bucket_last", ignorenulls=True).over(w_census).alias("_carry"),
     )
-    # (4) per-(key, bucket) window + carry coalesce
+    # (4) per-(key, bucket) window + carry coalesce.  The carry attach
+    # must be a NULL-SAFE left join: left rows with a NULL key or NULL
+    # timestamp (NULL bucket) are real rows the plain shape keeps — a
+    # plain inner equi-join would silently drop them (round-4 review
+    # find, verified).  Window partitioning and the census distinct both
+    # group NULLs, so the NULL-keyed census rows exist to match; the
+    # NULL bucket sorts FIRST in the census order, mirroring the plain
+    # shape's NULLS-FIRST (ts, side) ordering.
     merged = r.withColumn(
         "_row", F.lit(None).cast(l.schema["_row"].dataType)
     ).unionByName(l)
@@ -206,9 +225,17 @@ def asof_join_bucketed(
         .orderBy("_ts", "_side")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    carry_r = carry.select(
+        F.col("_k").alias("_ck"), F.col("_b").alias("_cb"), "_carry"
+    )
     filled = (
         merged.withColumn("_local", F.last("_payload", ignorenulls=True).over(w))
-        .join(carry, ["_k", "_b"])
+        .join(
+            carry_r,
+            F.col("_k").eqNullSafe(F.col("_ck"))
+            & F.col("_b").eqNullSafe(F.col("_cb")),
+            "left",
+        )
         .withColumn("_match", F.coalesce("_local", "_carry"))
     )
     return filled.filter(F.col("_side") == 1).select("_row.*", "_match.*")

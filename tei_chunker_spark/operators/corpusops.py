@@ -340,7 +340,10 @@ def doc_familiarity(documents: DataFrame, n: int = 2) -> DataFrame:
 
 
 def contamination_stats(
-    train: DataFrame, eval_docs: DataFrame, n: int = 3
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 3,
+    broadcast_eval: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination scan: per TRAINING document, how many of
     its word ``n``-gram occurrences also appear anywhere in the EVAL set
@@ -349,15 +352,18 @@ def contamination_stats(
     contamination threshold get dropped or audited).
 
     Shape at 100 TB: the eval side is benchmarks — tiny next to the
-    corpus — so its DISTINCT n-gram set broadcasts and the whole scan is
+    corpus — so its DISTINCT n-gram set broadcasts
+    (``broadcast_eval=True``, the default) and the whole scan is
     embarrassingly parallel: explode train grams (narrow), broadcast
     left join against the eval gram set, one hash agg on doc_id.  The
     single shuffle is the per-doc rollup on a uniform high-cardinality
-    key.  If the eval set ever outgrows broadcast, the identical plan
-    degrades gracefully to a shuffled equi-join on gram (AQE handles the
-    Zipf-head grams exactly as in doc_familiarity).  Documents with
-    fewer than ``n`` tokens have no grams: n_grams = 0, NULL ratio,
-    kept."""
+    key.  ``F.broadcast`` is a HARD hint that overrides size estimates
+    (an eval gram set beyond the broadcast limit would fail the job,
+    not fall back — round-4 review find), so callers with an outsized
+    eval set pass ``broadcast_eval=False`` for a shuffled equi-join on
+    gram instead (AQE handles the Zipf-head grams exactly as in
+    doc_familiarity).  Documents with fewer than ``n`` tokens have no
+    grams: n_grams = 0, NULL ratio, kept."""
     tgrams = train.select(
         "doc_id", F.explode(word_ngrams(tokens(F.col("text")), n)).alias("gram")
     )
@@ -368,8 +374,10 @@ def contamination_stats(
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
+    if broadcast_eval:
+        egrams = F.broadcast(egrams)
     per_doc = (
-        tgrams.join(F.broadcast(egrams), "gram", "left")
+        tgrams.join(egrams, "gram", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_grams"),

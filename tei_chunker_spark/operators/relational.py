@@ -133,29 +133,22 @@ def events_type_unpivot(events: DataFrame) -> DataFrame:
 
 
 def top_docs_per_group(documents: DataFrame, k: int = 3) -> DataFrame:
-    """Window top-k: longest documents per language — two-stage, because
-    ``lang`` is a LOW-cardinality key (~dozens of values): even with the
-    Partial WindowGroupLimit pushdown (<= k rows per lang per map
-    partition reach the shuffle) a single-window plan still merges one
-    language's k x P survivors on ONE task.  Stage 1 ranks within
-    (lang, xxhash64(doc_id) mod 16) in parallel; stage 2 merges the
-    <= 16k survivors per language — bounded regardless of corpus size.
-    Same device as the ANN family's similarity._ranked; the ordering
-    (n_chars desc, doc_id asc) is a total order, so the result is
-    bit-identical to the single-window formulation."""
-    order = [F.col("n_chars").desc(), F.col("doc_id").asc()]
-    w1 = Window.partitionBy("lang", "_salt").orderBy(*order)
-    w2 = Window.partitionBy("lang").orderBy(*order)
-    return (
-        documents.withColumn(
-            "_salt", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(16))
-        )
-        .withColumn("_pr", F.row_number().over(w1))
-        .filter(F.col("_pr") <= k)
-        .withColumn("rnk", F.row_number().over(w2))
-        .filter(F.col("rnk") <= k)
-        .select("lang", "doc_id", "n_chars", "rnk")
-    )
+    """Window top-k: longest documents per language — via the shared
+    two-stage salted device (operators/ranking.py), because ``lang`` is
+    a LOW-cardinality key (~dozens of values) and a single per-lang
+    window would merge one language's k x P survivors on ONE task.  The
+    ordering (n_chars desc, doc_id asc) is a total order, so the result
+    is bit-identical to the single-window formulation."""
+    from .ranking import two_stage_topk
+
+    return two_stage_topk(
+        documents,
+        part_cols=["lang"],
+        order_cols=[F.col("n_chars").desc(), F.col("doc_id").asc()],
+        salt_col="doc_id",
+        k=k,
+        rank_alias="rnk",
+    ).select("lang", "doc_id", "n_chars", "rnk")
 
 
 def events_hourly(events: DataFrame) -> DataFrame:

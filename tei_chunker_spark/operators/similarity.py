@@ -18,62 +18,36 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.columns import cosine
-
-# Stage-1 fan-out of the two-stage top-k: how many ways each query's
-# candidate stream is split before the final merge.  Scale knob only —
-# the result is invariant to it (the union of per-salt top-k always
-# contains the global top-k).
-N_SALTS = 16
+from .ranking import two_stage_topk
 
 
 def _ranked(
     pairs: DataFrame, k: int, extra_cols: Sequence[str] = ()
 ) -> DataFrame:
-    """Deterministic TWO-STAGE top-``k`` per query over scored candidate
-    ``pairs`` — the scale-safe replacement for a single
-    ``Window.partitionBy("query_id")`` (round-3 verdict).
-
-    Why two stages: Spark's rank-filter pushdown already inserts a
-    PARTIAL WindowGroupLimit below the exchange, so only ~k rows per
-    query survive each map partition — but the FINAL window still lands
-    every query's survivors (k x P rows at P upstream partitions; ~10^7
-    at 100 TB) on ONE task.  Stage 1 therefore ranks within
-    (query_id, salt) where salt = xxhash64(neighbor_id) mod N_SALTS:
-    each of a query's stage-1 partitions handles ~k x P / N_SALTS rows
-    and they run in parallel (the partial WindowGroupLimit applies here
-    too, so the stage-1 shuffle itself carries <= k rows per (query,
-    salt) per map partition).  Stage 2 merges the <= k x N_SALTS
-    survivors per query — a bounded, O(k x N_SALTS) task regardless of
-    corpus size.  Correctness is salt-invariant: every candidate ranked
-    in stage 2 was fully ranked against its salt group, and the global
-    top-k is contained in the union of per-salt top-k.
-
-    Ordering (cos_sim_raw desc, neighbor_id asc) is a total order
-    (neighbor_id unique per query), so both stages are deterministic and
-    the output is bit-identical to the single-window formulation.
-    """
-    order = [F.col("cos_sim_raw").desc(), F.col("neighbor_id").asc()]
-    w1 = Window.partitionBy("query_id", "_salt").orderBy(*order)
-    w2 = Window.partitionBy("query_id").orderBy(*order)
-    return (
-        pairs.withColumn(
-            "_salt", F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(N_SALTS))
-        )
-        .withColumn("_pr", F.row_number().over(w1))
-        .filter(F.col("_pr") <= k)
-        .withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            *extra_cols,
-            "rank",
-            F.round(F.col("cos_sim_raw"), 6).alias("cos_sim"),
-        )
+    """Deterministic top-``k`` per query over scored candidate ``pairs``
+    via the shared two-stage salted device (operators/ranking.py —
+    round-3 verdict replaced the single per-query window).  Ordering
+    (cos_sim_raw desc, neighbor_id asc) is a total order (neighbor_id
+    unique per query), so the output is bit-identical to the
+    single-window formulation."""
+    ranked = two_stage_topk(
+        pairs,
+        part_cols=["query_id"],
+        order_cols=[F.col("cos_sim_raw").desc(), F.col("neighbor_id").asc()],
+        salt_col="neighbor_id",
+        k=k,
+        rank_alias="rank",
+    )
+    return ranked.select(
+        "query_id",
+        "neighbor_id",
+        *extra_cols,
+        "rank",
+        F.round(F.col("cos_sim_raw"), 6).alias("cos_sim"),
     )
 
 

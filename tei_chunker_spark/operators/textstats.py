@@ -206,11 +206,18 @@ def pii_scrub(documents: DataFrame) -> DataFrame:
 
 def _simhash_packed_sql(text_col: str) -> str:
     """SQL expr: ONE aggregate pass over the distinct-token md5s producing
-    ``array<bigint>`` of 16 packed lane-counters + the token count."""
+    ``array<bigint>`` of 16 packed lane-counters + the token count.
+
+    The whitespace class is spelled with \\uXXXX escapes because this is
+    a Spark-SQL STRING literal, not a raw Java regex: Spark SQL does not
+    recognize \\f or \\x0B (it drops the backslash, which would put the
+    LETTERS f/x/0/B into the class) — probed empirically, round 4.  The
+    \\u escapes decode to the control characters, which match themselves
+    inside the class; the set is exactly functions/columns.py::WS_CLASS."""
     lookup = "array({})".format(", ".join(f"{v}L" for v in _NIBBLE_LANES))
     return f"""
 aggregate(
-  transform(array_distinct(split(regexp_replace({text_col}, '^\\\\s+|\\\\s+$', ''), '\\\\s+')), t -> md5(t)),
+  transform(array_distinct(split(regexp_replace({text_col}, '^[ \\u0009\\u000A\\u000B\\u000C\\u000D]+|[ \\u0009\\u000A\\u000B\\u000C\\u000D]+$', ''), '[ \\u0009\\u000A\\u000B\\u000C\\u000D]+')), t -> md5(t)),
   array_repeat(cast(0 as bigint), 17),
   (acc, h) -> transform(acc, (a, i) ->
       if(i < 16,

@@ -15,20 +15,27 @@ way mapInPandas does in extract.py.
 """
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.functions import udtf
+
+# the engine-wide ASCII whitespace definition (functions/columns.py::
+# WS_CLASS) — NOT str.split(), which also splits on Unicode whitespace
+# (NBSP, U+2028, ...) and would diverge from the SQL oracle on any
+# corpus containing it (round-4 review find)
+_WS_RE = re.compile(r"[ \t\n\x0B\f\r]+")
 
 
 @udtf(returnType="seg_idx: int, seg_text: string, n_tokens: int", useArrow=True)
 class SegmentSplit:
-    """Fixed-width token segmenter: whitespace-split the text, emit one
-    row per consecutive ``width``-token window (tail partial window
+    """Fixed-width token segmenter: ASCII-whitespace-split the text, emit
+    one row per consecutive ``width``-token window (tail partial window
     included).  Whitespace-only text emits no rows — identical to the
-    engine-wide token_count guard (split('') is [''] there; Python
-    str.split() already drops it)."""
+    engine-wide token_count guard."""
 
     def eval(self, text: str, width: int):  # noqa: D102
-        toks = (text or "").split()
+        toks = [t for t in _WS_RE.split(text or "") if t]
         for i in range(0, len(toks), width):
             seg = toks[i : i + width]
             yield i // width, " ".join(seg), len(seg)

@@ -172,3 +172,28 @@ def test_asof_bucketed_plan_has_no_bare_key_window_over_data(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     keys = re.findall(r"windowspecdefinition\((_k#\d+(?:, _b#\d+L?)?),", plan)
     assert sorted(k.count("_b") for k in keys) == [0, 1], keys
+
+
+def test_asof_bucketed_keeps_null_key_and_null_ts_rows(spark):
+    """Left rows with NULL key or NULL timestamp are real rows the plain
+    shape keeps (NULLS-FIRST ordering matches them against NULL-ts
+    rights of the same key); the bucketed variant must keep them too —
+    its carry attach is a null-safe LEFT join for exactly this reason
+    (round-4 review find: a plain inner join dropped them)."""
+    from tei_chunker_spark.operators.asof import asof_join, asof_join_bucketed
+
+    right = spark.createDataFrame(
+        [("a", 50, 1.0), ("a", None, 0.5), (None, 10, 9.0)],
+        "k string, rts long, pay double",
+    )
+    left = spark.createDataFrame(
+        [(1, "a", 100), (2, None, 150), (3, "a", None), (4, "b", 100)],
+        "id long, k string, lts long",
+    )
+    kw = dict(key="k", left_ts="lts", right_ts="rts", payload_cols=["pay"])
+    plain = sorted(map(tuple, asof_join(left, right, **kw).collect()))
+    bucketed = sorted(
+        map(tuple, asof_join_bucketed(left, right, bucket_seconds=60, **kw).collect())
+    )
+    assert bucketed == plain
+    assert len(bucketed) == 4  # every left row survives

@@ -204,17 +204,20 @@ def test_seq_pack_hash_matches_naive_window(spark):
     style as seq_pack's)."""
     from pyspark.sql import Window
 
+    from tei_chunker_spark.functions.columns import token_count
+
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     got = corpusops.seq_pack_by_hash(docs, budget=256)
     nib = "(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), {i}, 1)) - 1)"
+    # the naive reference uses the ENGINE's token definition — this test
+    # proves the window decomposition, not the tokenizer (a re-spelled
+    # trim() formula here silently re-introduced the abolished
+    # ASCII-space-trim semantics; round-4 review find)
     naive_base = docs.select(
         "doc_id",
         F.col("doc_id").cast("string").alias("sid"),
         F.expr(f"{nib.format(i=1)} * 16 + {nib.format(i=2)}").cast("int").alias("bucket"),
-        F.when(F.length(F.trim("text")) == 0, F.lit(0))
-        .otherwise(F.size(F.split(F.trim("text"), r"\s+")))
-        .cast("long")
-        .alias("n_tokens"),
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
     )
     w = Window.orderBy("bucket", "sid").rowsBetween(Window.unboundedPreceding, 0)
     naive = naive_base.withColumn("cum_end", F.sum("n_tokens").over(w)).select(
