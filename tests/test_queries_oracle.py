@@ -58,6 +58,11 @@ FAST_ORACLED = [
     "user_event_paths",
     "supplier_census",
     "part_type_stats",
+    # round-4 additions
+    "seq_pack_hash",
+    "decontaminate",
+    "doc_repetition",
+    "events_asof_bucketed",
 ]
 
 
