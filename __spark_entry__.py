@@ -413,6 +413,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_repetition"] = lambda spark, sf: corpusops.doc_repetition(
         load(spark, sf, "documents")
     )
+    # the composed curation funnel: exact dedup -> quality floor ->
+    # decontamination vs the %50 pseudo-eval slice, with per-gate counts.
+    # Input is the exact-dup AUGMENTED corpus so gate 1 has real work
+    # (the raw documents table has no byte-identical texts).
+    q["curation_census"] = lambda spark, sf: corpusops.curation_census(
+        _docs_with_exact_dups(spark, sf),
+        load(spark, sf, "documents").filter(F.col("doc_id") % 50 == 0),
+    )
     # deterministic pseudo-eval set: every 50th document acts as the
     # held-out benchmark; the rest of the corpus is scanned against it
     q["decontaminate"] = lambda spark, sf: corpusops.contamination_stats(
@@ -1383,6 +1391,66 @@ select d.doc_id,
 from (select doc_id from documents) d
 left join uni on d.doc_id = uni.doc_id
 left join bi on d.doc_id = bi.doc_id
+"""
+
+    # the composed curation funnel: each CTE replicates one gate's
+    # already-oracled formula over the previous gate's survivors
+    o["curation_census"] = f"""
+with docs_aug as ({_EXACT_AUG_SQL}),
+dedup_keep as (
+    select min(doc_id) as doc_id from docs_aug group by md5(text)
+),
+g1 as (select d.doc_id, d.text from docs_aug d join dedup_keep using (doc_id)),
+tq as (
+    select doc_id,
+           case when regexp_matches(text, '^[ \t\n\x0b\f\r]*$') then 0 else len({_TOKENS}) end as n_tok,
+           len(list_distinct({_TOKENS})) as n_distinct,
+           length(text) as n_chars,
+           length(regexp_replace(text, '[^A-Za-z]', '', 'g')) as n_alpha
+    from g1
+),
+ql as (
+    select doc_id,
+           round(0.3 * least(1.0, n_tok / 100.0)
+                 + 0.3 * (case when n_tok > 0 and n_chars > 0 then n_distinct / cast(n_tok as double) end)
+                 + 0.4 * (case when n_tok > 0 and n_chars > 0 then n_alpha / cast(n_chars as double) end),
+                 6) as quality
+    from tq
+),
+g2 as (
+    select g1.doc_id, g1.text from g1 join ql using (doc_id) where ql.quality >= 0.5
+),
+tg as (
+    select s.doc_id, s.toks[i] || ' ' || s.toks[i + 1] || ' ' || s.toks[i + 2] as gram
+    from (select doc_id, {_TOKENS} as toks from g2) s,
+         unnest(generate_series(1, cast(greatest(len(s.toks) - 2, 0) as int))) as u(i)
+),
+eg as (
+    select distinct s.toks[i] || ' ' || s.toks[i + 1] || ' ' || s.toks[i + 2] as gram
+    from (select {_TOKENS} as toks from documents where doc_id % 50 = 0) s,
+         unnest(generate_series(1, cast(greatest(len(s.toks) - 2, 0) as int))) as u(i)
+),
+cont as (
+    select tg.doc_id,
+           count(*) as n_grams,
+           sum(case when eg.gram is not null then 1 else 0 end) as n_hit
+    from tg left join eg on tg.gram = eg.gram
+    group by tg.doc_id
+),
+g3 as (
+    select g2.doc_id from g2
+    left join cont on g2.doc_id = cont.doc_id
+    where coalesce(round(cast(cont.n_hit as double) / cont.n_grams, 6), 0.0) <= 0.2
+)
+select gate, n_docs from (
+    select '0_input' as gate, cast(count(*) as bigint) as n_docs from docs_aug
+    union all
+    select '1_exact_dedup', cast(count(*) as bigint) from g1
+    union all
+    select '2_quality', cast(count(*) as bigint) from g2
+    union all
+    select '3_decontaminated', cast(count(*) as bigint) from g3
+)
 """
 
     # decontamination: per-train-doc trigram occurrences colliding with

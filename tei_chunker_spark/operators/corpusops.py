@@ -524,3 +524,61 @@ def doc_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
             ),
         )
     )
+
+
+def curation_census(
+    documents: DataFrame,
+    eval_docs: DataFrame,
+    quality_min: float = 0.5,
+    contamination_max: float = 0.2,
+    n: int = 3,
+) -> DataFrame:
+    """End-to-end corpus-curation funnel census: chain the gates a real
+    training-data job runs — exact dedup (keep the min-id copy of each
+    byte-identical text), quality floor (doc_quality composite >=
+    ``quality_min``; NULL-scored degenerate docs fail), benchmark
+    decontamination (trigram contamination vs ``eval_docs`` <=
+    ``contamination_max``; docs with no grams pass — nothing to match)
+    — and report the surviving count after each gate.  Output: one row
+    per stage, ``(gate, n_docs)``, ordered by gate label.  This is the
+    composition test of the operator family: each gate consumes the
+    previous gate's survivors, the way the operators are actually
+    deployed (note eval members inside the corpus self-match at
+    contamination 1.0 and are therefore removed from training — the
+    intended behavior of a decontamination pass).
+
+    Shape at 100 TB: three semi-joins on the uniform doc_id key plus
+    each gate's own documented plan (hash agg / scalar projections /
+    broadcast gram join); the census rows are four scalar aggregates.
+    Everything is splittable; nothing collects to the driver."""
+    from .textstats import doc_quality
+
+    keep1 = (
+        documents.groupBy(F.md5("text").alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    g1 = documents.join(keep1, "doc_id", "left_semi")
+    q = doc_quality(g1).filter(F.col("quality") >= quality_min).select("doc_id")
+    g2 = g1.join(q, "doc_id", "left_semi")
+    keep3 = (
+        contamination_stats(g2, eval_docs, n=n)
+        .filter(
+            F.coalesce(F.col("contamination"), F.lit(0.0)) <= contamination_max
+        )
+        .select("doc_id")
+    )
+    g3 = g2.join(keep3, "doc_id", "left_semi")
+
+    def stage(df: DataFrame, label: str) -> DataFrame:
+        return df.select(
+            F.lit(label).alias("gate"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+
+    return (
+        stage(documents, "0_input")
+        .unionByName(stage(g1, "1_exact_dedup"))
+        .unionByName(stage(g2, "2_quality"))
+        .unionByName(stage(g3, "3_decontaminated"))
+    )

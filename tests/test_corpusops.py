@@ -394,3 +394,32 @@ def test_seq_pack_hash_matches_python_on_random_corpus(spark):
             b, n, off, first, last - first + 1,
         ), (sid, text)
         off += n
+
+
+def test_curation_census_every_gate_rejects(spark):
+    """Crafted corpus where each gate does real work: an exact dup falls
+    at gate 1, a degenerate low-quality doc at gate 2, a verbatim eval
+    leak at gate 3; one clean doc survives the whole funnel."""
+    good = "The quick brown fox jumps over the lazy dog near the river bank today " * 3
+    docs = _docs(
+        spark,
+        [
+            (1, good, "en"),
+            (2, good, "en"),                      # exact dup of 1 -> gate 1
+            (3, "x x x x", "en"),                  # low quality -> gate 2
+            (4, "secret held out benchmark prompt answer", "en"),  # leak -> gate 3
+        ],
+    )
+    ev = _docs(spark, [(100, "secret held out benchmark prompt answer", "en")])
+    got = {
+        r.gate: r.n_docs
+        for r in corpusops.curation_census(
+            docs, ev, quality_min=0.5, contamination_max=0.2, n=3
+        ).collect()
+    }
+    assert got == {
+        "0_input": 4,
+        "1_exact_dedup": 3,
+        "2_quality": 2,
+        "3_decontaminated": 1,
+    }, got

@@ -63,6 +63,7 @@ FAST_ORACLED = [
     "decontaminate",
     "doc_repetition",
     "events_asof_bucketed",
+    "curation_census",
 ]
 
 
