@@ -1484,13 +1484,16 @@ from (select doc_id from tr) d
 left join pd on d.doc_id = pd.doc_id
 """
 
-    # seq_pack_by_hash: string-id packing in (md5-nibble bucket, id) order;
-    # the oracle is again the naive single global running sum over that
-    # order — bit-equality proves the bucketed decomposition exact.
+    # seq_pack_by_hash: string-id packing in (full md5, id) order — the
+    # bucket (integer value of the first two md5 nibbles) is a PREFIX of
+    # that sort key, a pure parallelism knob; the oracle is again the
+    # naive single global running sum over that order — bit-equality
+    # proves the bucketed decomposition exact.
     o["seq_pack_hash"] = f"""
 with t as (
     select doc_id,
            cast(doc_id as varchar) as sid,
+           md5(cast(doc_id as varchar)) as h,
            cast((strpos('0123456789abcdef', substr(md5(cast(doc_id as varchar)), 1, 1)) - 1) * 16
                 + strpos('0123456789abcdef', substr(md5(cast(doc_id as varchar)), 2, 1)) - 1 as int) as bucket,
            cast(case when regexp_matches(text, '^[ \t\n\x0b\f\r]*$') then 0 else len({_TOKENS}) end as bigint) as n_tokens
@@ -1498,7 +1501,7 @@ with t as (
 ),
 c as (
     select doc_id, bucket, n_tokens,
-           cast(sum(n_tokens) over (order by bucket, sid rows between unbounded preceding and current row) as bigint) as cum_end
+           cast(sum(n_tokens) over (order by h, sid rows between unbounded preceding and current row) as bigint) as cum_end
     from t
 )
 select doc_id, bucket, n_tokens,

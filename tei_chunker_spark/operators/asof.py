@@ -147,11 +147,15 @@ def asof_join_bucketed(
     width_us = int(bucket_seconds) * 1_000_000
 
     def bucketed(df: DataFrame, ts: str) -> DataFrame:
-        us = F.unix_micros(F.col(ts).cast("timestamp"))
-        # exact floor for any sign: (us - pmod(us, W)) is a multiple of W
-        # and the quotient is small, so the double division is exact
-        return df.withColumn(
-            "_b", ((us - F.pmod(us, F.lit(width_us))) / F.lit(width_us)).cast("long")
+        # exact floor for any sign, pure integer arithmetic: (us - pmod)
+        # is a multiple of W, `div` keeps it in long — no 2^53 double
+        # precision cliff (same idiom as seq_pack's round-3 fix)
+        return (
+            df.withColumn("_us", F.unix_micros(F.col(ts).cast("timestamp")))
+            .withColumn(
+                "_b", F.expr(f"(_us - pmod(_us, {width_us})) div {width_us}")
+            )
+            .drop("_us")
         )
 
     payload = F.struct(*[F.col(c) for c in payload_cols])
@@ -174,9 +178,17 @@ def asof_join_bucketed(
         ),
         "_ts",
     )
-    # (2) bucket-final right payload, one hash agg (map-side partials)
+    # (2) bucket-final right payload, one hash agg (map-side partials).
+    # The ordering value is a struct ranking NULL ts SMALLEST (matching
+    # the plain shape's NULLS-FIRST (ts, side) order) — a bare
+    # max_by(_payload, _ts) silently DROPS rows whose ts is NULL, so the
+    # NULL bucket's payload would never reach the carry-in even though
+    # the plain shape propagates it to every later row (round-4 advisory,
+    # verified divergence).
     rlast = r.groupBy("_k", "_b").agg(
-        F.max_by("_payload", F.col("_ts")).alias("_bucket_last")
+        F.max_by(
+            "_payload", F.struct(F.col("_ts").isNotNull(), F.col("_ts"))
+        ).alias("_bucket_last")
     )
     # (3) census of active buckets on either side; carry-in = last
     # bucket-final payload from any strictly earlier bucket.  The ONLY

