@@ -31,6 +31,7 @@ from tei_chunker_spark.operators import (
     dedup,
     kmeans,
     multimodal,
+    quantize,
     relational,
     similarity,
     textstats,
@@ -446,6 +447,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["doc_segments_udtf"] = lambda spark, sf: udtfs.doc_segments(
         spark, load(spark, sf, "documents"), width=20
+    )
+
+    # -- round-5 additions: vocab census, provenance report, SQ8
+    # quantization, grouping sets, decile histogram
+    q["vocab_coverage"] = lambda spark, sf: corpusops.vocab_coverage(
+        load(spark, sf, "documents"), k=50
+    )
+    q["source_stats"] = lambda spark, sf: corpusops.source_stats(
+        load(spark, sf, "documents")
+    )
+    # codes stringified: the cross-engine compare hashes scalar columns
+    # (array renderings differ between pandas/numpy producers)
+    q["embed_quantize"] = lambda spark, sf: quantize.embed_quantize(
+        load(spark, sf, "embeddings")
+    ).select(
+        "vec_id", F.concat_ws(",", "codes").alias("codes_csv"), "max_err"
+    )
+    q["revenue_grouping_sets"] = lambda spark, sf: relational.revenue_grouping_sets(
+        load(spark, sf, "orders")
+    )
+    q["doc_length_deciles"] = lambda spark, sf: relational.doc_length_deciles(
+        load(spark, sf, "documents")
     )
     return q
 
@@ -1623,6 +1646,118 @@ select doc_id, cast(i as int) as seg_idx,
        array_to_string(toks[i * 20 + 1 : least((i + 1) * 20, len(toks))], ' ') as seg_text,
        cast(least((i + 1) * 20, len(toks)) - i * 20 as int) as n_tokens
 from t, unnest(generate_series(0, cast((len(toks) - 1) // 20 as int))) as g(i)
+"""
+
+    # vocab_coverage: top-50 term census; rank/share windows over the
+    # tiny top-k table, never the vocabulary (mirrors the Spark plan).
+    o["vocab_coverage"] = f"""
+with term as (
+    select t as term from (select unnest({_TOKENS}) as t from documents) u
+    where length(t) > 0
+),
+cnt as (select term, cast(count(*) as bigint) as n_occurrences from term group by term),
+tot as (select cast(count(*) as double) as total from term),
+top as (
+    select term, n_occurrences from cnt
+    order by n_occurrences desc, term asc limit 50
+),
+r as (
+    select term, n_occurrences,
+           row_number() over (order by n_occurrences desc, term asc) as rank,
+           sum(n_occurrences) over (
+               order by n_occurrences desc, term asc
+               rows between unbounded preceding and current row
+           ) as cum
+    from top
+)
+select cast(r.rank as bigint) as rank, r.term, r.n_occurrences,
+       round(r.n_occurrences / tot.total, 6) as share,
+       round(r.cum / tot.total, 6) as cum_share
+from r, tot
+"""
+
+    # source_stats: decimal-accumulated mean quality (quality itself is
+    # the doc_quality formula, 6-dp rounded, so the decimal sum is exact).
+    o["source_stats"] = f"""
+with t as (
+    select doc_id, source, lang, md5(text) as th,
+           case when regexp_matches(text, '^[ \t\n\x0b\f\r]*$') then 0 else len({_TOKENS}) end as n_tok,
+           len(list_distinct({_TOKENS})) as n_distinct,
+           length(text) as n_chars,
+           length(regexp_replace(text, '[^A-Za-z]', '', 'g')) as n_alpha
+    from documents
+),
+g as (
+    select source, lang, th, n_tok,
+           round(0.3 * least(1.0, n_tok / 100.0)
+                 + 0.3 * (case when n_tok > 0 and n_chars > 0 then n_distinct / cast(n_tok as double) end)
+                 + 0.4 * (case when n_tok > 0 and n_chars > 0 then n_alpha / cast(n_chars as double) end),
+                 6) as q
+    from t
+)
+select source,
+       cast(count(*) as bigint) as n_docs,
+       cast(sum(n_tok) as bigint) as n_tokens,
+       cast(count(distinct th) as bigint) as n_distinct_texts,
+       round(1 - count(distinct th) / cast(count(*) as double), 6) as dup_rate,
+       case when count(q) > 0
+            then round(cast(sum(cast(q as decimal(25,10))) as double) / count(q), 6) end as mean_quality,
+       cast(count(distinct lang) as bigint) as n_langs
+from g group by source
+"""
+
+    # embed_quantize: SQ8 codes + L-inf reconstruction error; floor(+0.5)
+    # in double on both engines (round() is engine-defined), codes joined
+    # to csv because the compare hashes scalar renderings.
+    o["embed_quantize"] = """
+with u as (
+    select vec_id, generate_subscripts(embedding, 1) as d,
+           cast(unnest(embedding) as double) as x
+    from embeddings
+),
+b as (select d, min(x) as mn, max(x) as mx from u group by d),
+c as (
+    select u.vec_id, u.d, u.x, b.mn, b.mx,
+           cast(case when b.mx > b.mn
+                     then floor((u.x - b.mn) / (b.mx - b.mn) * 255 + 0.5)
+                     else 0 end as int) as code
+    from u join b using (d)
+)
+select vec_id,
+       string_agg(code::varchar, ',' order by d) as codes_csv,
+       round(max(abs(x - (mn + code * (mx - mn) / 255))), 6) as max_err
+from c group by vec_id
+"""
+
+    # revenue_grouping_sets: GROUPING() bitmask must match Spark's
+    # grouping_id() bit order (left column = high bit on both engines).
+    o["revenue_grouping_sets"] = """
+select cast(year(o_orderdate) as int) as o_year, o_orderpriority,
+       cast(grouping(year(o_orderdate), o_orderpriority) as bigint) as gid,
+       round(cast(sum(cast(o_totalprice as decimal(25,10))) as double), 2) as revenue,
+       cast(count(*) as bigint) as n_orders
+from orders
+group by grouping sets ((year(o_orderdate), o_orderpriority),
+                        (year(o_orderdate)), (o_orderpriority), ())
+"""
+
+    # doc_length_deciles: the oracle uses NATIVE ntile — an independent
+    # re-derivation of the engine's census + closed-form decomposition.
+    o["doc_length_deciles"] = f"""
+with d as (
+    select doc_id, lang,
+           cast(case when regexp_matches(text, '^[ \t\n\x0b\f\r]*$') then 0 else len({_TOKENS}) end as bigint) as n_tokens
+    from documents
+),
+t as (
+    select lang, n_tokens,
+           ntile(10) over (partition by lang order by n_tokens, doc_id) as decile
+    from d
+)
+select lang, cast(decile as int) as decile,
+       cast(count(*) as bigint) as n_docs,
+       min(n_tokens) as min_tokens, max(n_tokens) as max_tokens
+from t group by lang, decile
 """
 
     return o

@@ -612,3 +612,104 @@ def curation_census(
         .unionByName(stage(keep2, "2_quality"))
         .unionByName(stage(keep3, "3_decontaminated"))
     )
+
+
+def vocab_coverage(documents: DataFrame, k: int = 50) -> DataFrame:
+    """Top-``k`` vocabulary census with cumulative token coverage — the
+    vocab-size sizing curve a tokenizer-training job reads first ("how
+    many types cover 95% of the corpus?").  Output: one row per top-k
+    term, ``(rank, term, n_occurrences, share, cum_share)``; rank order
+    is (count desc, term asc), the same deterministic tie-break as
+    corpus_ngram_counts.  The ''-token from whitespace-only documents is
+    excluded (same domain filter as doc_top_terms).
+
+    Shape at 100 TB: term counts are one map-side-partial hash agg
+    (Zipf-hot terms cost one combiner per partition); the top-k is a
+    TakeOrderedAndProject over the agg output, never a full vocabulary
+    sort; the corpus total is a 1-row scalar aggregate broadcast-crossed
+    in; the ranking window runs over the <= k-row top-k census, never
+    the vocabulary."""
+    terms = documents.select(
+        F.explode(tokens(F.col("text"))).alias("term")
+    ).filter(F.length("term") > 0)
+    counts = terms.groupBy("term").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    topk = counts.orderBy(
+        F.col("n_occurrences").desc(), F.col("term").asc()
+    ).limit(k)
+    total = terms.agg(
+        F.count(F.lit(1)).cast("double").alias("_total")
+    )
+    order = [F.col("n_occurrences").desc(), F.col("term").asc()]
+    w = Window.orderBy(*order)
+    w_cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        topk.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number().over(w).cast("long").alias("rank"),
+            "term",
+            F.col("n_occurrences").cast("long").alias("n_occurrences"),
+            F.round(F.col("n_occurrences") / F.col("_total"), 6).alias("share"),
+            F.round(
+                F.sum("n_occurrences").over(w_cum) / F.col("_total"), 6
+            ).alias("cum_share"),
+        )
+    )
+
+
+def source_stats(documents: DataFrame) -> DataFrame:
+    """Per-source curation report — corpus composition by provenance:
+    document and token counts, the exact-duplicate view
+    (``n_distinct_texts`` / ``dup_rate``), mean quality (NULL-scored
+    degenerate docs excluded from the mean, counted in ``n_docs``), and
+    language spread.  The first table a corpus owner reads when deciding
+    which crawl/source to upweight or drop.
+
+    ``mean_quality`` accumulates in decimal(25,10) (quality is already
+    rounded to 6 places, so the sum is EXACT and order-independent) and
+    divides once in double — the dsum() device, without which a
+    double-sum's last ulp differs per partitioning and engine.
+
+    Shape at 100 TB: quality is a scan-stage scalar projection (the
+    quality_columns() expressions, same single definition doc_quality
+    uses — one corpus scan total, no self-join); one hash agg on the
+    low-cardinality source key with two distinct aggregates (Catalyst
+    plans one expand x3 — linear, partial-aggregated, no pair blowup)."""
+    from .textstats import _with_tokens, quality_columns
+
+    quality, _, _ = quality_columns()
+    base = _with_tokens(documents).select(
+        "source",
+        "lang",
+        F.md5("text").alias("_th"),
+        token_count(F.col("text")).cast("long").alias("_nt"),
+        quality.alias("_q"),
+    )
+    return (
+        base.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_nt").cast("long").alias("n_tokens"),
+            F.countDistinct("_th").cast("long").alias("n_distinct_texts"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.count("_q").cast("long").alias("_n_scored"),
+            F.sum(F.col("_q").cast("decimal(25,10)")).alias("_qsum"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_distinct_texts",
+            F.round(1 - F.col("n_distinct_texts") / F.col("n_docs"), 6).alias(
+                "dup_rate"
+            ),
+            F.when(
+                F.col("_n_scored") > 0,
+                F.round(
+                    F.col("_qsum").cast("double") / F.col("_n_scored"), 6
+                ),
+            ).alias("mean_quality"),
+            "n_langs",
+        )
+    )

@@ -649,3 +649,100 @@ def events_session_native(events: DataFrame, gap: str = "30 minutes") -> DataFra
             "session_value",
         )
     )
+
+
+def revenue_grouping_sets(orders: DataFrame) -> DataFrame:
+    """GROUPING SETS aggregation (SURVEY.md §2.2 aggregation row:
+    rollup/cube's general form): order revenue by (year, priority) with
+    explicit subtotal sets ((year, priority), (year), (priority), ()) —
+    the shape rollup/cube cannot express (rollup omits (priority),
+    cube adds nothing here but computes all four anyway).
+    ``grouping_id`` disambiguates real NULL group keys from subtotal
+    rows, the standard trap with grouped NULLs.
+
+    Shape at 100 TB: one Expand (4 replicas of the narrow projection) +
+    one partial-aggregated hash agg — the same linear plan as rollup;
+    no joins, no windows."""
+    year = F.year("o_orderdate").cast("int").alias("o_year")
+    return (
+        orders.groupingSets(
+            [["o_year", "o_orderpriority"], ["o_year"], ["o_orderpriority"], []],
+            year,
+            F.col("o_orderpriority"),
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            dsum(F.col("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+        .select("o_year", "o_orderpriority", "gid", "revenue", "n_orders")
+    )
+
+
+def doc_length_deciles(documents: DataFrame, k: int = 10) -> DataFrame:
+    """Per-language document-length decile summary: ntile(``k``) over
+    (n_tokens, doc_id) within each language, reported as (lang, decile,
+    n_docs, min_tokens, max_tokens) — the length-distribution table a
+    curation job reads before choosing truncation/packing budgets.
+
+    Scale story — a bare ``ntile().over(partitionBy(lang))`` is the
+    low-cardinality-key trap this engine refuses everywhere (one
+    language = one task over its whole corpus slice).  Instead the rank
+    is decomposed exactly like seq_pack's prefix sum: (1) a (lang,
+    n_tokens) histogram census — hash agg, bounded by n_langs x distinct
+    lengths, orders of magnitude smaller than the corpus; (2) exclusive
+    cumulative counts over the census (the only per-lang ordered window,
+    over the census); (3) per-(lang, n_tokens) row_number over the data
+    — splittable, partitions are tie-groups only; rank = census prefix +
+    tie row_number, and ntile's bucket is then a closed-form function of
+    (rank, n): the first n % k buckets get n div k + 1 rows, the rest
+    n div k (the standard SQL ntile definition, which the DuckDB oracle's
+    native ntile re-derives independently).  The final rollup is a hash
+    agg on (lang, decile)."""
+    from ..functions.columns import token_count
+
+    docs = documents.select(
+        "doc_id",
+        "lang",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    census = docs.groupBy("lang", "n_tokens").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    w_census = (
+        Window.partitionBy("lang")
+        .orderBy("n_tokens")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    census = census.select(
+        "lang",
+        "n_tokens",
+        F.coalesce(F.sum("_c").over(w_census), F.lit(0).cast("long")).alias(
+            "_before"
+        ),
+    )
+    totals = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("_n"))
+    w_tie = Window.partitionBy("lang", "n_tokens").orderBy("doc_id")
+    kk = int(k)
+    # ntile(k) closed form: q = n div k rows per bucket, the first
+    # m = n % k buckets hold q + 1.  greatest(q, 1) only guards the
+    # never-taken CASE branch when n < k (ANSI mode would still reject a
+    # literal div 0 at that spot if an engine evaluated it eagerly).
+    bucket = F.expr(
+        f"case when _r <= (_n % {kk}) * ((_n div {kk}) + 1) "
+        f"then (_r - 1) div ((_n div {kk}) + 1) + 1 "
+        f"else (_n % {kk}) + (_r - 1 - (_n % {kk}) * ((_n div {kk}) + 1)) "
+        f"div greatest(_n div {kk}, 1) + 1 end"
+    )
+    ranked = (
+        docs.withColumn("_rn", F.row_number().over(w_tie))
+        .join(F.broadcast(census), ["lang", "n_tokens"])
+        .join(F.broadcast(totals), "lang")
+        .withColumn("_r", F.col("_before") + F.col("_rn"))
+        .withColumn("decile", bucket.cast("int"))
+    )
+    return ranked.groupBy("lang", "decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    )

@@ -78,14 +78,11 @@ def doc_stats(documents: DataFrame) -> DataFrame:
     )
 
 
-def doc_quality(documents: DataFrame, min_score: float | None = None) -> DataFrame:
-    """Composite quality score in [0,1]: length saturation, lexical
-    diversity, alphabetic density — the standard cheap pre-filter trio for
-    training-data pipelines.
-
-    Degenerate documents (zero tokens / zero length) get NULL scores and
-    are KEPT unless ``min_score`` is set — dropping rows silently is the
-    job of an explicit filter, never of a scoring operator."""
+def quality_columns():
+    """The (quality, distinct_ratio, alpha_ratio) scalar expressions over
+    a ``_with_tokens`` frame — the single definition of the composite
+    quality formula, shared by ``doc_quality`` and
+    ``corpusops.source_stats`` so the two reports can never drift."""
     text = F.col("text")
     tok = F.col("tok")
     n_tok = (
@@ -98,6 +95,18 @@ def doc_quality(documents: DataFrame, min_score: float | None = None) -> DataFra
     )
     length_sat = F.least(F.lit(1.0), n_tok / F.lit(100.0))
     score = F.round(0.3 * length_sat + 0.3 * distinct_ratio + 0.4 * alpha_ratio, 6)
+    return score, distinct_ratio, alpha_ratio
+
+
+def doc_quality(documents: DataFrame, min_score: float | None = None) -> DataFrame:
+    """Composite quality score in [0,1]: length saturation, lexical
+    diversity, alphabetic density — the standard cheap pre-filter trio for
+    training-data pipelines.
+
+    Degenerate documents (zero tokens / zero length) get NULL scores and
+    are KEPT unless ``min_score`` is set — dropping rows silently is the
+    job of an explicit filter, never of a scoring operator."""
+    score, distinct_ratio, alpha_ratio = quality_columns()
     out = _with_tokens(documents).select(
         "doc_id",
         score.alias("quality"),

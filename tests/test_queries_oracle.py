@@ -64,6 +64,12 @@ FAST_ORACLED = [
     "doc_repetition",
     "events_asof_bucketed",
     "curation_census",
+    # round-5 additions
+    "vocab_coverage",
+    "source_stats",
+    "embed_quantize",
+    "revenue_grouping_sets",
+    "doc_length_deciles",
 ]
 
 

@@ -1,0 +1,194 @@
+"""Round-5 operator tests: SQ8 quantization bounds, vocabulary coverage
+semantics, provenance report edge rows, grouping-sets bitmask, and the
+census-decomposed ntile."""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from tei_chunker_spark.functions.columns import token_count
+from tei_chunker_spark.operators import corpusops, relational
+from tei_chunker_spark.operators.quantize import embed_quantize
+
+SF = "/root/testdata/sf0.001"
+
+
+# --- embed_quantize ---------------------------------------------------------
+
+
+def test_embed_quantize_codes_and_error_bound(spark):
+    """Codes live in [0, 255]; the reconstruction error of min/max SQ is
+    at most half a quantization step per dimension, so max_err <=
+    max_d (mx_d - mn_d) / 255 / 2 (+ rounding slack)."""
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = embed_quantize(e)
+    rows = out.collect()
+    assert len(rows) == e.count()
+    bounds = (
+        e.select(F.posexplode("embedding").alias("d", "x"))
+        .groupBy("d")
+        .agg((F.max("x") - F.min("x")).alias("w"))
+        .agg(F.max("w"))
+        .first()[0]
+    )
+    step_half = bounds / 255 / 2 + 1e-6
+    for r in rows:
+        assert all(0 <= c <= 255 for c in r.codes)
+        assert r.max_err <= step_half, (r.vec_id, r.max_err, step_half)
+
+
+def test_embed_quantize_constant_dim_and_exact_corners(spark):
+    """A constant dimension codes 0 with zero error; the min and max of a
+    varying dimension code exactly 0 and `levels` and reconstruct
+    exactly (the corners of the quantization grid are lossless)."""
+    e = spark.createDataFrame(
+        [(1, [0.0, 5.0]), (2, [0.0, -3.0]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.vec_id: r for r in embed_quantize(e, levels=8).collect()}
+    assert [got[i].codes[0] for i in (1, 2, 3)] == [0, 0, 0]  # constant dim
+    assert got[2].codes[1] == 0  # min corner
+    assert got[1].codes[1] == 8  # max corner
+    assert got[1].max_err == 0.0 and got[2].max_err == 0.0
+    # interior: 1.0 in [-3, 5] with 8 levels -> (1+3)/8*8 = 4.0 exactly
+    assert got[3].codes[1] == 4 and got[3].max_err == 0.0
+
+
+# --- vocab_coverage ---------------------------------------------------------
+
+
+def test_vocab_coverage_counts_and_cumulative(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c", "en"), (2, "a b x", "en"), (3, "   ", "en")],
+        "doc_id long, text string, lang string",
+    )
+    rows = {r.rank: r for r in corpusops.vocab_coverage(docs, k=2).collect()}
+    # counts: a=4 b=3 c=1 x=1, total 9; blank doc contributes nothing
+    assert (rows[1].term, rows[1].n_occurrences) == ("a", 4)
+    assert (rows[2].term, rows[2].n_occurrences) == ("b", 3)
+    assert rows[1].share == round(4 / 9, 6)
+    assert rows[2].cum_share == round(7 / 9, 6)
+    assert len(rows) == 2
+
+
+def test_vocab_coverage_tie_break_and_monotone(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    rows = corpusops.vocab_coverage(docs, k=30).collect()
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    for a, b in zip(rows, rows[1:]):
+        assert (-a.n_occurrences, a.term) < (-b.n_occurrences, b.term)
+        assert a.cum_share <= b.cum_share
+    assert rows[-1].cum_share <= 1.0
+
+
+# --- source_stats -----------------------------------------------------------
+
+
+def test_source_stats_dups_quality_and_langs(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", "en", "crawl"),
+            (2, "alpha beta gamma", "de", "crawl"),  # exact dup of 1
+            (3, "delta epsilon", "en", "crawl"),
+            (4, "   ", "en", "books"),  # degenerate: NULL quality
+            (5, "zeta eta theta iota", "fr", "books"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    got = {r.source: r for r in corpusops.source_stats(docs).collect()}
+    crawl, books = got["crawl"], got["books"]
+    assert (crawl.n_docs, crawl.n_distinct_texts, crawl.n_langs) == (3, 2, 2)
+    assert crawl.dup_rate == round(1 - 2 / 3, 6)
+    assert crawl.n_tokens == 8  # dup's tokens still counted (3 + 3 + 2)
+    # books: one NULL-quality doc excluded from the mean, counted in n_docs
+    assert (books.n_docs, books.n_tokens) == (2, 4)
+    from tei_chunker_spark.operators.textstats import doc_quality
+
+    q5 = doc_quality(docs).filter(F.col("doc_id") == 5).first().quality
+    assert books.mean_quality == round(q5, 6)
+
+
+def test_source_stats_all_degenerate_source_null_mean(spark):
+    docs = spark.createDataFrame(
+        [(1, "", "en", "s"), (2, "  ", "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    r = corpusops.source_stats(docs).first()
+    assert r.mean_quality is None and r.n_docs == 2
+
+
+# --- revenue_grouping_sets --------------------------------------------------
+
+
+def test_grouping_sets_bitmask_and_totals(spark):
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    rows = relational.revenue_grouping_sets(orders).collect()
+    by_gid = {}
+    for r in rows:
+        by_gid.setdefault(r.gid, []).append(r)
+    # gid 0 = (year, priority); 1 = (year); 2 = (priority); 3 = ()
+    assert set(by_gid) == {0, 1, 2, 3}
+    assert len(by_gid[3]) == 1
+    grand = by_gid[3][0]
+    assert grand.o_year is None and grand.o_orderpriority is None
+    assert grand.n_orders == orders.count()
+    assert sum(r.n_orders for r in by_gid[0]) == grand.n_orders
+    assert sum(r.n_orders for r in by_gid[1]) == grand.n_orders
+    # per-year subtotal equals the sum of its (year, priority) cells
+    y = by_gid[1][0]
+    cells = [r for r in by_gid[0] if r.o_year == y.o_year]
+    assert sum(r.n_orders for r in cells) == y.n_orders
+    assert round(sum(r.revenue for r in cells), 2) == y.revenue
+
+
+# --- doc_length_deciles -----------------------------------------------------
+
+
+def test_deciles_match_native_ntile_skewed(spark):
+    """The census + closed-form rank decomposition must equal Spark's own
+    ntile on a corpus with heavy ties and a group smaller than k (both
+    remainder branches of the ntile formula exercised)."""
+    rows = [(i, "w " * (i % 4), "en") for i in range(1, 38)]  # many ties
+    rows += [(100 + i, "x " * i, "tiny") for i in range(3)]  # n < k group
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = relational.doc_length_deciles(docs)
+    base = docs.select(
+        "doc_id", "lang", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    naive = (
+        base.withColumn(
+            "decile",
+            F.ntile(10).over(
+                Window.partitionBy("lang").orderBy("n_tokens", "doc_id")
+            ),
+        )
+        .groupBy("lang", "decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )
+    assert got.exceptAll(naive).count() == 0
+    assert naive.exceptAll(got).count() == 0
+
+
+def test_deciles_plan_no_bare_lang_window_over_data(spark):
+    """The data-side window must be partitioned (lang, n_tokens) —
+    tie-groups only; the per-lang ordered window runs over the histogram
+    census (an aggregate output), mirroring the asof/seq_pack device."""
+    import re
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = (
+        relational.doc_length_deciles(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    keys = re.findall(
+        r"windowspecdefinition\((lang#\d+(?:, n_tokens#\d+L?)?),", plan
+    )
+    assert keys, plan[:2000]
+    assert sorted(k.count("n_tokens") for k in keys) == [0, 1], keys
