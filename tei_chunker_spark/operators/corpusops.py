@@ -638,8 +638,11 @@ def vocab_coverage(documents: DataFrame, k: int = 50) -> DataFrame:
     topk = counts.orderBy(
         F.col("n_occurrences").desc(), F.col("term").asc()
     ).limit(k)
-    total = terms.agg(
-        F.count(F.lit(1)).cast("double").alias("_total")
+    # total tokens = sum over the VOCAB table (one corpus explode total;
+    # re-aggregating `terms` would scan + explode the corpus a second
+    # time for one scalar)
+    total = counts.agg(
+        F.sum("n_occurrences").cast("double").alias("_total")
     )
     order = [F.col("n_occurrences").desc(), F.col("term").asc()]
     w = Window.orderBy(*order)

@@ -679,7 +679,9 @@ def revenue_grouping_sets(orders: DataFrame) -> DataFrame:
     )
 
 
-def doc_length_deciles(documents: DataFrame, k: int = 10) -> DataFrame:
+def doc_length_deciles(
+    documents: DataFrame, k: int = 10, broadcast_census: bool = True
+) -> DataFrame:
     """Per-language document-length decile summary: ntile(``k``) over
     (n_tokens, doc_id) within each language, reported as (lang, decile,
     n_docs, min_tokens, max_tokens) — the length-distribution table a
@@ -698,7 +700,14 @@ def doc_length_deciles(documents: DataFrame, k: int = 10) -> DataFrame:
     (rank, n): the first n % k buckets get n div k + 1 rows, the rest
     n div k (the standard SQL ntile definition, which the DuckDB oracle's
     native ntile re-derives independently).  The final rollup is a hash
-    agg on (lang, decile)."""
+    agg on (lang, decile).
+
+    ``broadcast_census``: the census is n_langs x distinct lengths —
+    typically a few MB, so it broadcasts by default; for corpora where
+    distinct lengths explode (no truncation, millions of length values x
+    many langs) set False and the attach becomes an ordinary shuffled
+    join on (lang, n_tokens), a well-distributed two-column key (same
+    escape-hatch pattern as contamination_stats' broadcast_eval)."""
     from ..functions.columns import token_count
 
     docs = documents.select(
@@ -734,10 +743,11 @@ def doc_length_deciles(documents: DataFrame, k: int = 10) -> DataFrame:
         f"else (_n % {kk}) + (_r - 1 - (_n % {kk}) * ((_n div {kk}) + 1)) "
         f"div greatest(_n div {kk}, 1) + 1 end"
     )
+    maybe_bc = F.broadcast if broadcast_census else (lambda df: df)
     ranked = (
         docs.withColumn("_rn", F.row_number().over(w_tie))
-        .join(F.broadcast(census), ["lang", "n_tokens"])
-        .join(F.broadcast(totals), "lang")
+        .join(maybe_bc(census), ["lang", "n_tokens"])
+        .join(maybe_bc(totals), "lang")
         .withColumn("_r", F.col("_before") + F.col("_rn"))
         .withColumn("decile", bucket.cast("int"))
     )
