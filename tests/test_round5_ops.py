@@ -192,3 +192,50 @@ def test_deciles_plan_no_bare_lang_window_over_data(spark):
     )
     assert keys, plan[:2000]
     assert sorted(k.count("n_tokens") for k in keys) == [0, 1], keys
+
+
+# --- pq_encode --------------------------------------------------------------
+
+
+def test_pq_encode_codes_domain_and_training_improves(spark):
+    """Codes are m values in [0, n_cells); total distortion after 2 Lloyd
+    iterations must be <= distortion with the raw init codebooks (training
+    can only improve the integer objective on the assign step)."""
+    from tei_chunker_spark.operators.quantize import pq_encode
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    trained = pq_encode(e, m=4, n_cells=8, iters=2)
+    init = pq_encode(e, m=4, n_cells=8, iters=0)
+    rows = trained.collect()
+    assert len(rows) == e.count()
+    for r in rows[:50]:
+        assert len(r.codes) == 4
+        assert all(0 <= c < 8 for c in r.codes)
+    t = trained.agg(F.sum("qdist")).first()[0]
+    i = init.agg(F.sum("qdist")).first()[0]
+    assert t <= i, (t, i)
+
+
+def test_pq_encode_rejects_indivisible_dim(spark):
+    from tei_chunker_spark.operators.quantize import pq_encode
+
+    e = spark.createDataFrame(
+        [(1, [0.1] * 10)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError):
+        pq_encode(e, m=3)
+
+
+def test_pq_encode_plan_is_scan_stage(spark):
+    """Encoding (after training) must be shuffle-free: no Exchange in the
+    encode plan — the codebooks are folded literals, not a join side."""
+    from tei_chunker_spark.operators.quantize import pq_encode
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = (
+        pq_encode(e, m=4, n_cells=8, iters=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan[:1500]
