@@ -464,6 +464,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ).select(
         "vec_id", F.concat_ws(",", "codes").alias("codes_csv"), "max_err"
     )
+    q["pq_encode"] = lambda spark, sf: quantize.pq_encode(
+        load(spark, sf, "embeddings"), m=4, n_cells=8, iters=2
+    ).select(
+        "vec_id", F.concat_ws(",", "codes").alias("codes_csv"), "qdist"
+    )
     q["revenue_grouping_sets"] = lambda spark, sf: relational.revenue_grouping_sets(
         load(spark, sf, "orders")
     )
@@ -1740,6 +1745,74 @@ from orders
 group by grouping sets ((year(o_orderdate), o_orderpriority),
                         (year(o_orderdate)), (o_orderpriority), ())
 """
+
+    # pq_encode: per-subspace unrolled integer-domain Lloyd (the same
+    # determinism contract as ann_ivf_trained's oracle: round(x*10000),
+    # exact int L2^2, ties to smallest cell, floor-mean updates) —
+    # generated per subspace because PQ trains m independent codebooks.
+    _pq_m, _pq_w, _pq_k, _pq_iters = 4, 16, 8, 2
+    _pq_dist = (
+        "list_sum([(x.sq[i] - c.cv[i]) * (x.sq[i] - c.cv[i]) "
+        "for i in generate_series(1, len(x.sq))])"
+    )
+    _pq_parts = [
+        "q as (select vec_id, [cast(round(x::double * 10000) as bigint) "
+        "for x in embedding] as qv from embeddings)"
+    ]
+    for j in range(_pq_m):
+        lo, hi = j * _pq_w + 1, (j + 1) * _pq_w
+        _pq_parts.append(
+            f"p{j}q as (select vec_id, qv[{lo}:{hi}] as sq from q)"
+        )
+        _pq_parts.append(
+            f"p{j}c0 as (select cast(row_number() over (order by vec_id) - 1 "
+            f"as int) as cell, sq as cv from p{j}q order by vec_id limit {_pq_k})"
+        )
+        for n in range(1, _pq_iters + 1):
+            p = n - 1
+            _pq_parts.append(
+                f"""p{j}a{n} as (
+    select vec_id, sq, cell from (
+        select x.vec_id, x.sq, c.cell,
+               row_number() over (
+                   partition by x.vec_id order by {_pq_dist}, c.cell
+               ) as rn
+        from p{j}q x cross join p{j}c{p} c) where rn = 1)"""
+            )
+            _pq_parts.append(
+                f"p{j}s{n} as (select cell, i, sum(sq[i]) as sv, count(*) as n "
+                f"from p{j}a{n}, unnest(generate_series(1, len(sq))) as g(i) "
+                "group by cell, i)"
+            )
+            _pq_parts.append(
+                f"p{j}u{n} as (select cell, list(cast(floor(sv / n) as bigint) "
+                f"order by i) as cv from p{j}s{n} group by cell)"
+            )
+            _pq_parts.append(
+                f"p{j}c{n} as (select p{j}c{p}.cell, "
+                f"coalesce(p{j}u{n}.cv, p{j}c{p}.cv) as cv from p{j}c{p} "
+                f"left join p{j}u{n} on p{j}c{p}.cell = p{j}u{n}.cell)"
+            )
+        _pq_parts.append(
+            f"""p{j}f as (
+    select vec_id, cell, d from (
+        select x.vec_id, c.cell, {_pq_dist} as d,
+               row_number() over (
+                   partition by x.vec_id order by {_pq_dist}, c.cell
+               ) as rn
+        from p{j}q x cross join p{j}c{_pq_iters} c) where rn = 1)"""
+        )
+    _pq_codes = " || ',' || ".join(f"p{j}f.cell::varchar" for j in range(_pq_m))
+    _pq_qd = " + ".join(f"p{j}f.d" for j in range(_pq_m))
+    _pq_joins = " ".join(f"join p{j}f using (vec_id)" for j in range(1, _pq_m))
+    o["pq_encode"] = (
+        "with "
+        + ",\n".join(_pq_parts)
+        + f"""
+select p0f.vec_id, {_pq_codes} as codes_csv, cast({_pq_qd} as bigint) as qdist
+from p0f {_pq_joins}
+"""
+    )
 
     # doc_length_deciles: the oracle uses NATIVE ntile — an independent
     # re-derivation of the engine's census + closed-form decomposition.

@@ -86,3 +86,82 @@ def embed_quantize(embeddings: DataFrame, levels: int = 255) -> DataFrame:
         F.transform("embedding", _code).alias("codes"),
         F.round(F.array_max(F.transform("embedding", _err)), 6).alias("max_err"),
     )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    m: int = 4,
+    n_cells: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """Product quantization (PQ): split each vector into ``m`` contiguous
+    subvectors, train an ``n_cells`` codebook per subspace with the same
+    deterministic integer-domain Lloyd's as the IVF coarse quantizer
+    (kmeans.py's determinism contract: round(x*10000) quantization, exact
+    integer L2^2, ties to the smallest cell, floor-mean updates — the
+    construction that makes a DuckDB oracle possible for an iterative
+    trainer), and encode every vector as m small code ids.
+
+    Output: ``(vec_id, codes: array<int> length m, qdist: bigint)`` where
+    ``qdist`` is the EXACT integer quantization distortion — the sum over
+    subspaces of L2^2 between the quantized subvector and its chosen
+    centroid (order-independent integer arithmetic, so engine-identical
+    with no rounding caveat).  PQ with m=4 subspaces over 64 dims at 8
+    cells compresses 256 bytes of float32 to 4×3 bits; the codes column
+    is what an IVF-PQ index stores per vector, and qdist is the training
+    diagnostic (falls as codebooks fit better).
+
+    Shape at 100 TB: training touches the corpus 2×iters×m times but
+    each pass is the k-means narrow map + partial-aggregated (cell, dim)
+    groupBy — the per-iteration driver round-trip is m × n_cells × d/m =
+    n_cells × d integers, independent of corpus size.  Encoding is a
+    single scan-stage projection: the m codebooks are SQL literals folded
+    into one expression, the quantized vector and the m distance arrays
+    are materialized behind generator barriers (the interpreted-HOF
+    re-inlining trap dedup.py documents), and no shuffle or join touches
+    the data at all."""
+    from .kmeans import _cents_literal, quantized, train_ivf_centroids
+
+    dim = len(embeddings.select("embedding").first().embedding)
+    if dim % int(m) != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    w = dim // int(m)
+    books = []
+    for j in range(int(m)):
+        sub = embeddings.select(
+            "vec_id",
+            F.expr(f"slice(embedding, {j * w + 1}, {w})").alias("embedding"),
+        )
+        books.append(
+            train_ivf_centroids(sub, n_cells=n_cells, iters=iters)
+        )
+    q = embeddings.select("vec_id", quantized("embedding").alias("qv"))
+    # one generator barrier materializes qv; a second materializes the m
+    # distance arrays so argmin + min don't each recompute n_cells
+    # integer-L2 folds per subspace
+    q = q.select("vec_id", F.explode(F.array("qv")).alias("qv"))
+    dist_cols = [
+        F.expr(
+            f"transform({_cents_literal(books[j])}, cv -> "
+            f"aggregate(zip_with(slice(qv, {j * w + 1}, {w}), cv, "
+            "(x, y) -> (x - y) * (x - y)), 0L, (a, v) -> a + v))"
+        ).alias(f"_d{j}")
+        for j in range(int(m))
+    ]
+    q = q.select(
+        "vec_id",
+        F.explode(F.array(F.struct(*dist_cols))).alias("_d"),
+    ).select("vec_id", *[F.col(f"_d._d{j}").alias(f"_d{j}") for j in range(int(m))])
+    codes = F.array(
+        *[
+            (F.expr(f"array_position(_d{j}, array_min(_d{j}))") - 1).cast("int")
+            for j in range(int(m))
+        ]
+    )
+    qdist = None
+    for j in range(int(m)):
+        t = F.expr(f"array_min(_d{j})")
+        qdist = t if qdist is None else qdist + t
+    return q.select(
+        "vec_id", codes.alias("codes"), qdist.cast("long").alias("qdist")
+    )

@@ -68,6 +68,7 @@ FAST_ORACLED = [
     "vocab_coverage",
     "source_stats",
     "embed_quantize",
+    "pq_encode",
     "revenue_grouping_sets",
     "doc_length_deciles",
 ]
