@@ -88,6 +88,24 @@ def embed_quantize(embeddings: DataFrame, levels: int = 255) -> DataFrame:
     )
 
 
+def _pq_dists(books, w: int):
+    """struct(d0..d{m-1}) of per-subspace integer L2^2 distance arrays
+    (one entry per codebook cell), over a bound ``qv`` column.  Shared by
+    the joint trainer and the encoder so assignment math cannot drift."""
+    from .kmeans import _cents_literal
+
+    return F.struct(
+        *[
+            F.expr(
+                f"transform({_cents_literal(books[j])}, cv -> "
+                f"aggregate(zip_with(slice(qv, {j * w + 1}, {w}), cv, "
+                "(x, y) -> (x - y) * (x - y)), 0L, (a, v) -> a + v))"
+            ).alias(f"d{j}")
+            for j in range(len(books))
+        ]
+    )
+
+
 def pq_encode(
     embeddings: DataFrame,
     m: int = 4,
@@ -120,38 +138,64 @@ def pq_encode(
     are materialized behind generator barriers (the interpreted-HOF
     re-inlining trap dedup.py documents), and no shuffle or join touches
     the data at all."""
-    from .kmeans import _cents_literal, quantized, train_ivf_centroids
+    from .kmeans import quantized
 
+    m = int(m)
     dim = len(embeddings.select("embedding").first().embedding)
-    if dim % int(m) != 0:
+    if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
-    w = dim // int(m)
-    books = []
-    for j in range(int(m)):
-        sub = embeddings.select(
-            "vec_id",
-            F.expr(f"slice(embedding, {j * w + 1}, {w})").alias("embedding"),
+    w = dim // m
+    q = embeddings.select(F.col("vec_id").alias("_id"), quantized("embedding").alias("qv"))
+    # init (kmeans.py's seedless contract): subvectors of the n_cells
+    # smallest ids
+    init = [list(r.qv) for r in q.orderBy("_id").limit(int(n_cells)).collect()]
+    books = [[v[j * w : (j + 1) * w] for v in init] for j in range(m)]
+    # joint training: ALL m codebooks advance per corpus pass — one
+    # narrow map assigns every subspace's cell, one posexplode +
+    # partial-aggregated groupBy((global dim, its subspace's cell))
+    # produces every codebook's sums at once.  (The first cut trained
+    # the m books in m independent loops = m x the corpus scans for
+    # mathematically identical results — the per-subspace argmins never
+    # interact.)
+    for _ in range(int(iters)):
+        with_d = q.select(
+            "qv", F.explode(F.array(_pq_dists(books, w))).alias("_d")
         )
-        books.append(
-            train_ivf_centroids(sub, n_cells=n_cells, iters=iters)
+        cells = F.array(
+            *[
+                F.expr(f"array_position(_d.d{j}, array_min(_d.d{j}))") - 1
+                for j in range(m)
+            ]
         )
-    q = embeddings.select("vec_id", quantized("embedding").alias("qv"))
-    # one generator barrier materializes qv; a second materializes the m
-    # distance arrays so argmin + min don't each recompute n_cells
-    # integer-L2 folds per subspace
-    q = q.select("vec_id", F.explode(F.array("qv")).alias("qv"))
-    dist_cols = [
-        F.expr(
-            f"transform({_cents_literal(books[j])}, cv -> "
-            f"aggregate(zip_with(slice(qv, {j * w + 1}, {w}), cv, "
-            "(x, y) -> (x - y) * (x - y)), 0L, (a, v) -> a + v))"
-        ).alias(f"_d{j}")
-        for j in range(int(m))
-    ]
+        sums = (
+            with_d.select(cells.alias("_cells"), F.posexplode("qv").alias("i", "v"))
+            .select(
+                "i",
+                F.expr(f"_cells[i div {w}]").cast("int").alias("cell"),
+                "v",
+            )
+            .groupBy("i", "cell")
+            .agg(F.sum("v").alias("sv"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = [[None] * len(books[j]) for j in range(m)]
+        for r in sums:
+            j, sub = r.i // w, r.i % w
+            if new[j][r.cell] is None:
+                new[j][r.cell] = list(books[j][r.cell])
+            new[j][r.cell][sub] = r.sv // r.n
+        books = [
+            [new[j][c] or books[j][c] for c in range(len(books[j]))]
+            for j in range(m)
+        ]
+    # encode: one generator barrier materializes qv (already bound), a
+    # second materializes the m distance arrays so argmin + min don't
+    # each recompute n_cells integer-L2 folds per subspace
+    q = q.select(F.col("_id").alias("vec_id"), F.explode(F.array("qv")).alias("qv"))
     q = q.select(
         "vec_id",
-        F.explode(F.array(F.struct(*dist_cols))).alias("_d"),
-    ).select("vec_id", *[F.col(f"_d._d{j}").alias(f"_d{j}") for j in range(int(m))])
+        F.explode(F.array(_pq_dists(books, w))).alias("_d"),
+    ).select("vec_id", *[F.col(f"_d.d{j}").alias(f"_d{j}") for j in range(m)])
     codes = F.array(
         *[
             (F.expr(f"array_position(_d{j}, array_min(_d{j}))") - 1).cast("int")
