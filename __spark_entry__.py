@@ -469,6 +469,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ).select(
         "vec_id", F.concat_ws(",", "codes").alias("codes_csv"), "qdist"
     )
+    q["pq_adc_topk"] = lambda spark, sf: _cast_long(
+        quantize.pq_adc_topk(
+            load(spark, sf, "embeddings"),
+            load(spark, sf, "embeddings").filter(F.col("vec_id") < 5),
+            k=10,
+        ),
+        ["rank"],
+    )
     q["revenue_grouping_sets"] = lambda spark, sf: relational.revenue_grouping_sets(
         load(spark, sf, "orders")
     )
@@ -1811,6 +1819,46 @@ group by grouping sets ((year(o_orderdate), o_orderpriority),
         + f"""
 select p0f.vec_id, {_pq_codes} as codes_csv, cast({_pq_qd} as bigint) as qdist
 from p0f {_pq_joins}
+"""
+    )
+
+    # pq_adc_topk: asymmetric distance = per-subspace L2^2 from the RAW
+    # (quantized-domain) query subvector to the candidate's ASSIGNED
+    # centroid — exact integers end-to-end, ranked (dist asc, id asc).
+    _adc_cvjoins = " ".join(
+        f"join p{j}c{_pq_iters} cb{j} on p{j}f.cell = cb{j}.cell"
+        for j in range(_pq_m)
+    )
+    _adc_cvcols = ", ".join(f"cb{j}.cv as cv{j}" for j in range(_pq_m))
+    _adc_terms = " + ".join(
+        f"list_sum([(aq.qv[{j * _pq_w} + i] - xc.cv{j}[i]) * "
+        f"(aq.qv[{j * _pq_w} + i] - xc.cv{j}[i]) "
+        f"for i in generate_series(1, {_pq_w})])"
+        for j in range(_pq_m)
+    )
+    o["pq_adc_topk"] = (
+        "with "
+        + ",\n".join(_pq_parts)
+        + f""",
+xc as (
+    select p0f.vec_id as neighbor_id, {_adc_cvcols}
+    from p0f {_pq_joins} {_adc_cvjoins}
+),
+aq as (select vec_id as query_id, qv from q where vec_id < 5),
+prs as (
+    select aq.query_id, xc.neighbor_id, {_adc_terms} as adc_dist
+    from aq, xc where aq.query_id != xc.neighbor_id
+),
+rk as (
+    select query_id, neighbor_id, adc_dist,
+           row_number() over (
+               partition by query_id order by adc_dist, neighbor_id
+           ) as rank
+    from prs
+)
+select query_id, neighbor_id, cast(rank as bigint) as rank,
+       cast(adc_dist as bigint) as adc_dist
+from rk where rank <= 10
 """
     )
 

@@ -106,6 +106,89 @@ def _pq_dists(books, w: int):
     )
 
 
+def pq_train(
+    embeddings: DataFrame, m: int = 4, n_cells: int = 8, iters: int = 2
+):
+    """Train the ``m`` per-subspace PQ codebooks jointly; returns
+    ``(books, w)`` where ``books[j]`` is the subspace-``j`` codebook
+    (``n_cells`` integer subvectors of width ``w``).
+
+    Determinism: kmeans.py's contract verbatim — quantized integer
+    domain, init = subvectors of the ``n_cells`` smallest ids, exact int
+    L2^2 assignment with ties to the smallest cell, floor-mean updates,
+    empty cells carry forward.
+
+    Joint training: ALL m codebooks advance per corpus pass — one narrow
+    map assigns every subspace's cell, one posexplode +
+    partial-aggregated groupBy((global dim, its subspace's cell))
+    produces every codebook's sums at once.  (Training the m books in m
+    independent loops costs m x the corpus scans for mathematically
+    identical results — the per-subspace argmins never interact.)  The
+    per-iteration driver round-trip is n_cells x dim integers,
+    independent of corpus size."""
+    from .kmeans import quantized
+
+    m = int(m)
+    dim = len(embeddings.select("embedding").first().embedding)
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    w = dim // m
+    q = embeddings.select(
+        F.col("vec_id").alias("_id"), quantized("embedding").alias("qv")
+    )
+    init = [list(r.qv) for r in q.orderBy("_id").limit(int(n_cells)).collect()]
+    books = [[v[j * w : (j + 1) * w] for v in init] for j in range(m)]
+    for _ in range(int(iters)):
+        with_d = q.select(
+            "qv", F.explode(F.array(_pq_dists(books, w))).alias("_d")
+        )
+        cells = F.array(
+            *[
+                F.expr(f"array_position(_d.d{j}, array_min(_d.d{j}))") - 1
+                for j in range(m)
+            ]
+        )
+        sums = (
+            with_d.select(cells.alias("_cells"), F.posexplode("qv").alias("i", "v"))
+            .select(
+                "i",
+                F.expr(f"_cells[i div {w}]").cast("int").alias("cell"),
+                "v",
+            )
+            .groupBy("i", "cell")
+            .agg(F.sum("v").alias("sv"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = [[None] * len(books[j]) for j in range(m)]
+        for r in sums:
+            j, sub = r.i // w, r.i % w
+            if new[j][r.cell] is None:
+                new[j][r.cell] = list(books[j][r.cell])
+            new[j][r.cell][sub] = r.sv // r.n
+        books = [
+            [new[j][c] or books[j][c] for c in range(len(books[j]))]
+            for j in range(m)
+        ]
+    return books, w
+
+
+def _pq_with_dists(embeddings: DataFrame, books, w: int) -> DataFrame:
+    """``(vec_id, _d0.._d{m-1})``: the per-subspace distance arrays to a
+    trained codebook, with the quantized vector and the m arrays each
+    materialized behind generator barriers (so argmin + min don't each
+    recompute n_cells integer-L2 folds per subspace — the interpreted-HOF
+    re-inlining trap dedup.py documents)."""
+    from .kmeans import quantized
+
+    m = len(books)
+    q = embeddings.select("vec_id", quantized("embedding").alias("qv"))
+    q = q.select("vec_id", F.explode(F.array("qv")).alias("qv"))
+    return q.select(
+        "vec_id",
+        F.explode(F.array(_pq_dists(books, w))).alias("_d"),
+    ).select("vec_id", *[F.col(f"_d.d{j}").alias(f"_d{j}") for j in range(m)])
+
+
 def pq_encode(
     embeddings: DataFrame,
     m: int = 4,
@@ -138,64 +221,9 @@ def pq_encode(
     are materialized behind generator barriers (the interpreted-HOF
     re-inlining trap dedup.py documents), and no shuffle or join touches
     the data at all."""
-    from .kmeans import quantized
-
+    books, w = pq_train(embeddings, m=m, n_cells=n_cells, iters=iters)
     m = int(m)
-    dim = len(embeddings.select("embedding").first().embedding)
-    if dim % m != 0:
-        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
-    w = dim // m
-    q = embeddings.select(F.col("vec_id").alias("_id"), quantized("embedding").alias("qv"))
-    # init (kmeans.py's seedless contract): subvectors of the n_cells
-    # smallest ids
-    init = [list(r.qv) for r in q.orderBy("_id").limit(int(n_cells)).collect()]
-    books = [[v[j * w : (j + 1) * w] for v in init] for j in range(m)]
-    # joint training: ALL m codebooks advance per corpus pass — one
-    # narrow map assigns every subspace's cell, one posexplode +
-    # partial-aggregated groupBy((global dim, its subspace's cell))
-    # produces every codebook's sums at once.  (The first cut trained
-    # the m books in m independent loops = m x the corpus scans for
-    # mathematically identical results — the per-subspace argmins never
-    # interact.)
-    for _ in range(int(iters)):
-        with_d = q.select(
-            "qv", F.explode(F.array(_pq_dists(books, w))).alias("_d")
-        )
-        cells = F.array(
-            *[
-                F.expr(f"array_position(_d.d{j}, array_min(_d.d{j}))") - 1
-                for j in range(m)
-            ]
-        )
-        sums = (
-            with_d.select(cells.alias("_cells"), F.posexplode("qv").alias("i", "v"))
-            .select(
-                "i",
-                F.expr(f"_cells[i div {w}]").cast("int").alias("cell"),
-                "v",
-            )
-            .groupBy("i", "cell")
-            .agg(F.sum("v").alias("sv"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
-        new = [[None] * len(books[j]) for j in range(m)]
-        for r in sums:
-            j, sub = r.i // w, r.i % w
-            if new[j][r.cell] is None:
-                new[j][r.cell] = list(books[j][r.cell])
-            new[j][r.cell][sub] = r.sv // r.n
-        books = [
-            [new[j][c] or books[j][c] for c in range(len(books[j]))]
-            for j in range(m)
-        ]
-    # encode: one generator barrier materializes qv (already bound), a
-    # second materializes the m distance arrays so argmin + min don't
-    # each recompute n_cells integer-L2 folds per subspace
-    q = q.select(F.col("_id").alias("vec_id"), F.explode(F.array("qv")).alias("qv"))
-    q = q.select(
-        "vec_id",
-        F.explode(F.array(_pq_dists(books, w))).alias("_d"),
-    ).select("vec_id", *[F.col(f"_d.d{j}").alias(f"_d{j}") for j in range(m)])
+    q = _pq_with_dists(embeddings, books, w)
     codes = F.array(
         *[
             (F.expr(f"array_position(_d{j}, array_min(_d{j}))") - 1).cast("int")
@@ -209,3 +237,66 @@ def pq_encode(
     return q.select(
         "vec_id", codes.alias("codes"), qdist.cast("long").alias("qdist")
     )
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 4,
+    n_cells: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """IVF-PQ's query half: approximate top-``k`` by Asymmetric Distance
+    Computation — each query precomputes one lookup table per subspace
+    (L2^2 from the query's quantized subvector to every codebook entry),
+    and a candidate's distance is then m table lookups summed:
+    ``adc(q, x) = sum_j LUT_j[q][code_j(x)]``.  All arithmetic stays in
+    the exact integer domain (the training contract), so distances are
+    engine-identical with no rounding caveat and the DuckDB oracle
+    reproduces them bit-for-bit.  Ranking is (adc_dist asc, neighbor_id
+    asc), self-pairs excluded.
+
+    Shape at 100 TB: the corpus side carries only the m small code ints
+    per vector (the whole point of PQ — the scan reads codes, not
+    vectors); queries with their LUTs broadcast; the per-pair cost is m
+    integer lookups instead of a d-element fold (d/m x cheaper than
+    brute force on top of the ~100x smaller scan).  Top-k goes through
+    the shared two-stage salted ranking (operators/ranking.py), so no
+    task ever holds a query's full candidate list."""
+    from .ranking import two_stage_topk
+
+    books, w = pq_train(embeddings, m=m, n_cells=n_cells, iters=iters)
+    m = int(m)
+    codes = _pq_with_dists(embeddings, books, w).select(
+        F.col("vec_id").alias("neighbor_id"),
+        *[
+            (F.expr(f"array_position(_d{j}, array_min(_d{j}))") - 1)
+            .cast("int")
+            .alias(f"_c{j}")
+            for j in range(m)
+        ],
+    )
+    # per-query LUTs: the same distance arrays, just computed on the
+    # query rows (ADC's "asymmetric": the query stays unquantized-by-PQ,
+    # only the candidate is represented by its codes)
+    luts = _pq_with_dists(queries, books, w).select(
+        F.col("vec_id").alias("query_id"),
+        *[F.col(f"_d{j}").alias(f"_lut{j}") for j in range(m)],
+    )
+    adc = None
+    for j in range(m):
+        t = F.expr(f"_lut{j}[_c{j}]")
+        adc = t if adc is None else adc + t
+    pairs = codes.join(
+        F.broadcast(luts), F.col("query_id") != F.col("neighbor_id")
+    ).withColumn("adc_dist", adc.cast("long"))
+    ranked = two_stage_topk(
+        pairs,
+        part_cols=["query_id"],
+        order_cols=[F.col("adc_dist").asc(), F.col("neighbor_id").asc()],
+        salt_col="neighbor_id",
+        k=k,
+        rank_alias="rank",
+    )
+    return ranked.select("query_id", "neighbor_id", "rank", "adc_dist")

@@ -69,6 +69,7 @@ FAST_ORACLED = [
     "source_stats",
     "embed_quantize",
     "pq_encode",
+    "pq_adc_topk",
     "revenue_grouping_sets",
     "doc_length_deciles",
 ]

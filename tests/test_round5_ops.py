@@ -239,3 +239,25 @@ def test_pq_encode_plan_is_scan_stage(spark):
         .toString()
     )
     assert "Exchange" not in plan, plan[:1500]
+
+
+def test_pq_adc_topk_ranking_semantics(spark):
+    """Ranks are 1..k per query, self excluded, adc_dist non-decreasing
+    with rank, and the whole query is deterministic (two runs identical
+    — integer domain, total order)."""
+    from tei_chunker_spark.operators.quantize import pq_adc_topk
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 3)
+    a = pq_adc_topk(e, q, k=5).collect()
+    by_q = {}
+    for r in sorted(a, key=lambda r: (r.query_id, r.rank)):
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for qid, rows in by_q.items():
+        assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
+        assert all(r.neighbor_id != qid for r in rows)
+        dists = [r.adc_dist for r in rows]
+        assert dists == sorted(dists)
+    b = pq_adc_topk(e, q, k=5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
