@@ -110,6 +110,44 @@ def _docs_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "text").unionByName(dups)
 
 
+def _docs_with_case_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents plus case/punctuation variants of every 25th doc — the
+    near-exact-dup class byte-exact dedup misses and dedup_normalized
+    collapses (translate, not upper(): ASCII byte-wise on both engines)."""
+    d = load(spark, sf_dir, "documents")
+    v = d.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat(
+            F.lit("*** "),
+            F.translate(
+                F.col("text"),
+                "abcdefghijklmnopqrstuvwxyz",
+                "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+            ),
+            F.lit(" !!!"),
+        ).alias("text"),
+    )
+    return d.select("doc_id", "text").unionByName(v)
+
+
+def _snapshot_new(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'today' snapshot for snapshot_diff: every 17th doc removed,
+    every 11th edited, every 13th re-added under a new id."""
+    d = load(spark, sf_dir, "documents")
+    changed = F.when(
+        F.col("doc_id") % 11 == 5, F.concat(F.col("text"), F.lit(" edited"))
+    ).otherwise(F.col("text"))
+    base = d.filter(F.col("doc_id") % 17 != 3).select(
+        "doc_id", changed.alias("text"), "source"
+    )
+    added = d.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        F.concat(F.lit("new doc "), F.col("text")).alias("text"),
+        "source",
+    )
+    return base.unionByName(added)
+
+
 def _docs_with_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents with deterministic synthetic PII appended (the raw corpus
     has none; both engines build the identical augmented text)."""
@@ -468,6 +506,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load(spark, sf, "embeddings"), m=4, n_cells=8, iters=2
     ).select(
         "vec_id", F.concat_ws(",", "codes").alias("codes_csv"), "qdist"
+    )
+    q["dedup_normalized"] = lambda spark, sf: _cast_long(
+        dedup.dedup_normalized(_docs_with_case_variants(spark, sf)),
+        ["group_size"],
+    )
+    q["snapshot_diff"] = lambda spark, sf: relational.snapshot_diff(
+        load(spark, sf, "documents"), _snapshot_new(spark, sf)
     )
     q["pq_adc_topk"] = lambda spark, sf: _cast_long(
         quantize.pq_adc_topk(
@@ -1659,6 +1704,58 @@ select doc_id, cast(i as int) as seg_idx,
        array_to_string(toks[i * 20 + 1 : least((i + 1) * 20, len(toks))], ' ') as seg_text,
        cast(least((i + 1) * 20, len(toks)) - i * 20 as int) as n_tokens
 from t, unnest(generate_series(0, cast((len(toks) - 1) // 20 as int))) as g(i)
+"""
+
+    # dedup_normalized: casefold/punct/ws normal form via translate +
+    # explicit ASCII classes (lower()'s Unicode mapping is
+    # engine-defined; translate is byte-wise on both).  Same op order as
+    # the Spark chain: translate -> strip non-[a-z0-9 ws] -> collapse ws
+    # -> ws-trim.
+    _ws = " \t\n\x0b\f\r"
+    _norm = (
+        "regexp_replace(regexp_replace(regexp_replace("
+        "translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), "
+        f"'[^a-z0-9{_ws}]', '', 'g'), "
+        f"'[{_ws}]+', ' ', 'g'), "
+        f"'^[{_ws}]+|[{_ws}]+$', '', 'g')"
+    )
+    o["dedup_normalized"] = f"""
+with docs_aug as (
+    select doc_id, text from documents
+    union all
+    select doc_id + 300000 as doc_id,
+           '*** ' || translate(text, 'abcdefghijklmnopqrstuvwxyz',
+                               'ABCDEFGHIJKLMNOPQRSTUVWXYZ') || ' !!!' as text
+    from documents where doc_id % 25 = 0
+)
+select md5({_norm}) as norm_md5,
+       cast(count(*) as bigint) as group_size,
+       min(doc_id) as canonical_doc_id
+from docs_aug group by norm_md5
+"""
+
+    o["snapshot_diff"] = """
+with newsnap as (
+    select doc_id,
+           case when doc_id % 11 = 5 then text || ' edited' else text end as text,
+           source
+    from documents where doc_id % 17 != 3
+    union all
+    select doc_id + 400000 as doc_id, 'new doc ' || text as text, source
+    from documents where doc_id % 13 = 0
+),
+o as (select doc_id, md5(text) as oh, source as os from documents),
+n as (select doc_id, md5(text) as nh, source as ns from newsnap),
+j as (
+    select coalesce(n.ns, o.os) as source,
+           case when o.oh is null then 'added'
+                when n.nh is null then 'removed'
+                when o.oh != n.nh then 'changed'
+                else 'unchanged' end as status
+    from o full outer join n using (doc_id)
+)
+select source, status, cast(count(*) as bigint) as n_docs
+from j group by source, status
 """
 
     # vocab_coverage: top-50 term census; rank/share windows over the

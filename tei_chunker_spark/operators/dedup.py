@@ -691,3 +691,47 @@ def embedding_dup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+# ASCII upper->lower map for normalized dedup: translate() has identical
+# byte-wise semantics in Spark and DuckDB, unlike lower(), whose Unicode
+# case mapping is engine-defined (same cross-engine reasoning as
+# columns.py WS_CLASS).
+_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
+def normalized_text(col: F.Column) -> F.Column:
+    """Casefold/punctuation/whitespace normal form for near-exact dedup:
+    ASCII-lowercase via translate, drop everything outside
+    [a-z0-9 + whitespace] (explicit class — engine-neutral), collapse
+    whitespace runs to single spaces, trim.  Two texts that differ only
+    in case, punctuation, or spacing normalize identically."""
+    from ..functions.columns import WS_CLASS, ws_trimmed
+
+    x = F.translate(col, _UPPER, _LOWER)
+    x = F.regexp_replace(x, rf"[^a-z0-9{WS_CLASS}]", "")
+    x = F.regexp_replace(x, rf"[{WS_CLASS}]+", " ")
+    return ws_trimmed(x)
+
+
+def dedup_normalized(documents: DataFrame) -> DataFrame:
+    """Near-exact dedup census over the normalized text: the standard
+    step between byte-exact dedup (misses trivial edits) and MinHash
+    (overkill for case/punct/spacing variants).  Same output shape as
+    ``exact_dedup``: one row per normal-form group with its size and the
+    min-doc_id canonical.
+
+    Shape at 100 TB: identical to exact_dedup — the normal form is a
+    scan-stage scalar chain, then ONE map-side-partial hash agg on its
+    md5; no joins, no windows."""
+    return (
+        documents.select(
+            F.md5(normalized_text(F.col("text"))).alias("norm_md5"), "doc_id"
+        )
+        .groupBy("norm_md5")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+    )

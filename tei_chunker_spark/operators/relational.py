@@ -756,3 +756,34 @@ def doc_length_deciles(
         F.min("n_tokens").alias("min_tokens"),
         F.max("n_tokens").alias("max_tokens"),
     )
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """CDC-style snapshot reconciliation: compare two corpus snapshots
+    keyed by doc_id and report per-source counts of added / removed /
+    changed / unchanged documents — the table a daily-ingest job emits
+    before deciding whether a delta is sane to publish.  "Changed" is
+    md5(text) inequality; source is taken from whichever side has the
+    row (new wins for changed rows).
+
+    Shape at 100 TB: one full outer shuffle join on the unique doc_id
+    key (uniform, no skew) over narrow (doc_id, md5, source)
+    projections — the text column is hashed in the scan stage and never
+    shuffled; the census is one hash agg on (source, status)."""
+    o = old.select(
+        "doc_id", F.md5("text").alias("_oh"), F.col("source").alias("_os")
+    )
+    n = new.select(
+        "doc_id", F.md5("text").alias("_nh"), F.col("source").alias("_ns")
+    )
+    joined = o.join(n, "doc_id", "full_outer").select(
+        F.coalesce("_ns", "_os").alias("source"),
+        F.when(F.col("_oh").isNull(), F.lit("added"))
+        .when(F.col("_nh").isNull(), F.lit("removed"))
+        .when(F.col("_oh") != F.col("_nh"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )
+    return joined.groupBy("source", "status").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )

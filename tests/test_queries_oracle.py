@@ -70,6 +70,8 @@ FAST_ORACLED = [
     "embed_quantize",
     "pq_encode",
     "pq_adc_topk",
+    "dedup_normalized",
+    "snapshot_diff",
     "revenue_grouping_sets",
     "doc_length_deciles",
 ]

@@ -261,3 +261,56 @@ def test_pq_adc_topk_ranking_semantics(spark):
         assert dists == sorted(dists)
     b = pq_adc_topk(e, q, k=5).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# --- dedup_normalized -------------------------------------------------------
+
+
+def test_dedup_normalized_collapses_case_punct_ws(spark):
+    from tei_chunker_spark.operators.dedup import dedup_normalized, normalized_text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello,   World!"),
+            (2, "hello world"),          # same normal form as 1
+            (3, "HELLO\tWORLD !!"),      # and 3
+            (4, "hello worlds"),          # different
+            (5, "***"),                   # normalizes to ''
+            (6, "  "),                    # also ''
+        ],
+        "doc_id long, text string",
+    )
+    groups = {r.canonical_doc_id: r for r in dedup_normalized(docs).collect()}
+    assert groups[1].group_size == 3
+    assert groups[4].group_size == 1
+    assert groups[5].group_size == 2  # both degenerate forms share ''
+    norm = docs.select(normalized_text(F.col("text")).alias("n")).collect()
+    assert [r.n for r in norm] == [
+        "hello world", "hello world", "hello world", "hello worlds", "", "",
+    ]
+
+
+# --- snapshot_diff ----------------------------------------------------------
+
+
+def test_snapshot_diff_statuses(spark):
+    from tei_chunker_spark.operators.relational import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", "s1"), (2, "b", "s1"), (3, "c", "s2"), (4, "d", "s2")],
+        "doc_id long, text string, source string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", "s1"), (2, "B2", "s1"), (4, "d", "s2"), (9, "new", "s3")],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        (r.source, r.status): r.n_docs for r in snapshot_diff(old, new).collect()
+    }
+    assert got == {
+        ("s1", "unchanged"): 1,
+        ("s1", "changed"): 1,
+        ("s2", "removed"): 1,
+        ("s2", "unchanged"): 1,
+        ("s3", "added"): 1,
+    }
