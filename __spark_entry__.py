@@ -148,6 +148,34 @@ def _snapshot_new(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.unionByName(added)
 
 
+def _change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MERGE change feed: every 19th doc deleted, every
+    11th (not also 19th — one change per key, the MERGE cardinality
+    rule) updated, every 13th re-inserted under a new id."""
+    d = load(spark, sf_dir, "documents")
+    deletes = d.filter(F.col("doc_id") % 19 == 2).select(
+        "doc_id",
+        F.lit("delete").alias("op"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("source"),
+    )
+    updates = d.filter(
+        (F.col("doc_id") % 11 == 5) & (F.col("doc_id") % 19 != 2)
+    ).select(
+        "doc_id",
+        F.lit("upsert").alias("op"),
+        F.concat(F.col("text"), F.lit(" v2")).alias("text"),
+        "source",
+    )
+    inserts = d.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.lit("upsert").alias("op"),
+        F.concat(F.lit("ins "), F.col("text")).alias("text"),
+        "source",
+    )
+    return deletes.unionByName(updates).unionByName(inserts)
+
+
 def _docs_with_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents with deterministic synthetic PII appended (the raw corpus
     has none; both engines build the identical augmented text)."""
@@ -513,6 +541,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["snapshot_diff"] = lambda spark, sf: relational.snapshot_diff(
         load(spark, sf, "documents"), _snapshot_new(spark, sf)
+    )
+    q["merge_upsert"] = lambda spark, sf: relational.merge_upsert(
+        load(spark, sf, "documents").select("doc_id", "text", "source"),
+        _change_feed(spark, sf),
     )
     q["pq_adc_topk"] = lambda spark, sf: _cast_long(
         quantize.pq_adc_topk(
@@ -1756,6 +1788,28 @@ j as (
 )
 select source, status, cast(count(*) as bigint) as n_docs
 from j group by source, status
+"""
+
+    o["merge_upsert"] = """
+with ch as (
+    select doc_id, 'delete' as op, cast(null as varchar) as text,
+           cast(null as varchar) as source
+    from documents where doc_id % 19 = 2
+    union all
+    select doc_id, 'upsert', text || ' v2', source
+    from documents where doc_id % 11 = 5 and doc_id % 19 != 2
+    union all
+    select doc_id + 500000, 'upsert', 'ins ' || text, source
+    from documents where doc_id % 13 = 0
+),
+b as (select doc_id, text as bt, source as bs, true as bex from documents),
+j as (
+    select coalesce(b.doc_id, c.doc_id) as doc_id,
+           b.bt, b.bs, b.bex, c.op, c.text as ct, c.source as cs
+    from b full outer join ch c on b.doc_id = c.doc_id
+)
+select doc_id, coalesce(ct, bt) as text, coalesce(cs, bs) as source
+from j where (op is null and bex is not null) or op = 'upsert'
 """
 
     # vocab_coverage: top-50 term census; rank/share windows over the

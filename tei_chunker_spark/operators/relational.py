@@ -787,3 +787,60 @@ def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
     return joined.groupBy("source", "status").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )
+
+
+def merge_upsert(base: DataFrame, changes: DataFrame) -> DataFrame:
+    """MERGE INTO semantics as a batch operator: apply a change feed
+    ``(doc_id, op, text, source)`` with op in {'upsert', 'delete'} to a
+    base table — matched upserts update, unmatched upserts insert,
+    deletes remove, everything else carries forward unchanged.  This is
+    the engine-level kernel a lakehouse MERGE compiles to (the Iceberg
+    writeTo path is jar-gated in this sandbox; the join shape is what
+    survives to a real cluster).  Exactly one change per key (the SQL
+    MERGE cardinality rule) — violations raise instead of producing a
+    nondeterministic result, matching MERGE's runtime error.
+
+    Shape at 100 TB: ONE full-outer shuffle join on the unique doc_id
+    key; both sides project narrow columns; the output is
+    copy-on-write's logical result, ready for an overwrite or a
+    partition-level replace.  The cardinality check is one aggregate on
+    the (small) change feed."""
+    dup = (
+        changes.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise ValueError(
+            "merge_upsert: multiple change rows for one doc_id — MERGE "
+            "cardinality violation; deduplicate the change feed first"
+        )
+    b = base.select(
+        "doc_id",
+        F.col("text").alias("_bt"),
+        F.col("source").alias("_bs"),
+        F.lit(True).alias("_bex"),  # presence flag: _bt may be NULL
+    )
+    c = changes.select(
+        "doc_id",
+        F.col("op").alias("_op"),
+        F.col("text").alias("_ct"),
+        F.col("source").alias("_cs"),
+    )
+    merged = (
+        b.join(c, "doc_id", "full_outer")
+        # delete rows vanish; unmatched-delete is a no-op (SQL MERGE:
+        # WHEN NOT MATCHED AND op = 'delete' has no applicable clause)
+        .filter(
+            (F.col("_op").isNull() & F.col("_bex").isNotNull())
+            | (F.col("_op") == "upsert")
+        )
+        .select(
+            "doc_id",
+            F.coalesce("_ct", "_bt").alias("text"),
+            F.coalesce("_cs", "_bs").alias("source"),
+        )
+    )
+    return merged

@@ -72,6 +72,7 @@ FAST_ORACLED = [
     "pq_adc_topk",
     "dedup_normalized",
     "snapshot_diff",
+    "merge_upsert",
     "revenue_grouping_sets",
     "doc_length_deciles",
 ]

@@ -314,3 +314,42 @@ def test_snapshot_diff_statuses(spark):
         ("s2", "unchanged"): 1,
         ("s3", "added"): 1,
     }
+
+
+# --- merge_upsert -----------------------------------------------------------
+
+
+def test_merge_upsert_semantics(spark):
+    from tei_chunker_spark.operators.relational import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "one", "s"), (2, "two", "s"), (3, "three", "s"), (4, None, "s")],
+        "doc_id long, text string, source string",
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "upsert", "two v2", "s2"),   # matched update
+            (3, "delete", None, None),        # matched delete
+            (9, "upsert", "nine", "s9"),      # unmatched insert
+            (7, "delete", None, None),        # unmatched delete: no-op
+        ],
+        "doc_id long, op string, text string, source string",
+    )
+    got = {r.doc_id: r for r in merge_upsert(base, changes).collect()}
+    assert set(got) == {1, 2, 4, 9}
+    assert (got[2].text, got[2].source) == ("two v2", "s2")
+    assert got[1].text == "one"
+    assert got[4].text is None  # NULL-text base row survives untouched
+    assert got[9].text == "nine"
+
+
+def test_merge_upsert_rejects_duplicate_change_keys(spark):
+    from tei_chunker_spark.operators.relational import merge_upsert
+
+    base = spark.createDataFrame([(1, "one", "s")], "doc_id long, text string, source string")
+    dup = spark.createDataFrame(
+        [(1, "upsert", "a", "s"), (1, "delete", None, None)],
+        "doc_id long, op string, text string, source string",
+    )
+    with pytest.raises(ValueError):
+        merge_upsert(base, dup)
