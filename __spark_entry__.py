@@ -542,6 +542,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["snapshot_diff"] = lambda spark, sf: relational.snapshot_diff(
         load(spark, sf, "documents"), _snapshot_new(spark, sf)
     )
+    q["bpe_pairs"] = lambda spark, sf: corpusops.bpe_merge_candidates(
+        load(spark, sf, "documents"), k=20
+    )
     q["merge_upsert"] = lambda spark, sf: relational.merge_upsert(
         load(spark, sf, "documents").select("doc_id", "text", "source"),
         _change_feed(spark, sf),
@@ -1788,6 +1791,33 @@ j as (
 )
 select source, status, cast(count(*) as bigint) as n_docs
 from j group by source, status
+"""
+
+    # bpe_pairs: corpus-weighted adjacent char-pair counts over the
+    # distinct-word table (the first BPE merge decision); rank window
+    # over the top-k census only.
+    o["bpe_pairs"] = f"""
+with wds as (
+    select w as word, cast(count(*) as bigint) as freq
+    from (select unnest({_TOKENS}) as w from documents) u
+    where length(w) > 0 group by w
+),
+prs as (
+    select substr(word, i, 2) as pair, freq
+    from wds, unnest(generate_series(1, cast(length(word) - 1 as int))) as g(i)
+    where length(word) > 1
+),
+cnt as (
+    select pair, cast(sum(freq) as bigint) as n_occurrences
+    from prs where length(pair) = 2 group by pair
+),
+top as (
+    select pair, n_occurrences from cnt
+    order by n_occurrences desc, pair asc limit 20
+)
+select cast(row_number() over (order by n_occurrences desc, pair asc) as bigint) as rank,
+       pair, n_occurrences
+from top
 """
 
     o["merge_upsert"] = """

@@ -716,3 +716,53 @@ def source_stats(documents: DataFrame) -> DataFrame:
             "n_langs",
         )
     )
+
+
+def bpe_merge_candidates(documents: DataFrame, k: int = 20) -> DataFrame:
+    """The first BPE-training step: corpus-weighted counts of ADJACENT
+    CHARACTER pairs within words, ranked — the pair a byte-pair-encoding
+    trainer would merge first.  Output: one row per top-``k`` pair,
+    ``(rank, pair, n_occurrences)``; rank order (count desc, pair asc).
+    The ''-token from whitespace-only docs is excluded (doc_top_terms'
+    domain filter); 1-char words contribute no pairs.
+
+    Shape at 100 TB — the classic BPE trick is the plan: aggregate the
+    corpus to the DISTINCT-WORD table first (one hash agg; Heaps' law
+    makes it orders of magnitude smaller than the token stream), then
+    explode each distinct word's pairs ONCE and weight by the word's
+    corpus frequency (second hash agg on the pair key).  The top-k is a
+    TakeOrderedAndProject over the pair census.  A naive
+    pairs-per-token-occurrence explode would generate |corpus tokens| x
+    |word len| rows; this generates |vocab| x |word len|."""
+    words = (
+        documents.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # explicit 1-char-word guard: Spark's sequence(1, 0) DESCENDS
+    # ([1, 0]) where DuckDB's generate_series is empty — the repo's
+    # standing cross-engine trap; the length filter is belt on top
+    pairs = words.select(
+        "freq",
+        F.explode(
+            F.expr(
+                "case when length(word) > 1 then "
+                "transform(sequence(1, length(word) - 1), "
+                "i -> substring(word, i, 2)) "
+                "else array() end"
+            )
+        ).alias("pair"),
+    ).filter(F.length("pair") == 2)
+    ranked = (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
+    return ranked.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "pair",
+        "n_occurrences",
+    )

@@ -73,6 +73,7 @@ FAST_ORACLED = [
     "dedup_normalized",
     "snapshot_diff",
     "merge_upsert",
+    "bpe_pairs",
     "revenue_grouping_sets",
     "doc_length_deciles",
 ]

@@ -353,3 +353,21 @@ def test_merge_upsert_rejects_duplicate_change_keys(spark):
     )
     with pytest.raises(ValueError):
         merge_upsert(base, dup)
+
+
+# --- bpe_merge_candidates ---------------------------------------------------
+
+
+def test_bpe_pairs_weighted_by_word_frequency(spark):
+    docs = spark.createDataFrame(
+        [(1, "ab ab cd", "en"), (2, "ab x", "en"), (3, "abc", "en"),
+         (4, "  ", "en")],
+        "doc_id long, text string, lang string",
+    )
+    rows = {r.pair: r for r in corpusops.bpe_merge_candidates(docs, k=10).collect()}
+    # 'ab': word 'ab' freq 3 + word 'abc' freq 1 -> 4; 'bc' from 'abc';
+    # 'cd' once; 1-char word 'x' contributes nothing; blank doc nothing
+    assert rows["ab"].n_occurrences == 4 and rows["ab"].rank == 1
+    assert rows["bc"].n_occurrences == 1
+    assert rows["cd"].n_occurrences == 1
+    assert "x" not in rows and len(rows) == 3
