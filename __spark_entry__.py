@@ -542,6 +542,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["snapshot_diff"] = lambda spark, sf: relational.snapshot_diff(
         load(spark, sf, "documents"), _snapshot_new(spark, sf)
     )
+    # incremental view maintenance: maintained rollup over 2/3 of the
+    # corpus + the remaining 1/3 as the delta batch; the oracle
+    # recomputes from scratch over everything — the IVM identity itself
+    # is the correctness check
+    q["rollup_merge"] = lambda spark, sf: relational.rollup_merge(
+        relational.corpus_rollup(
+            load(spark, sf, "documents").filter(F.col("doc_id") % 3 != 0)
+        ),
+        load(spark, sf, "documents").filter(F.col("doc_id") % 3 == 0),
+    )
     q["bpe_pairs"] = lambda spark, sf: corpusops.bpe_merge_candidates(
         load(spark, sf, "documents"), k=20
     )
@@ -1791,6 +1801,16 @@ j as (
 )
 select source, status, cast(count(*) as bigint) as n_docs
 from j group by source, status
+"""
+
+    # rollup_merge: the oracle is the FROM-SCRATCH recompute over the
+    # whole corpus — merged(rollup(A), B) must equal rollup(A ∪ B).
+    o["rollup_merge"] = """
+select lang, source,
+       cast(count(*) as bigint) as n_docs,
+       cast(sum(length(text)) as bigint) as n_chars_sum,
+       round(cast(sum(length(text)) as bigint) / cast(count(*) as double), 6) as mean_chars
+from documents group by lang, source
 """
 
     # bpe_pairs: corpus-weighted adjacent char-pair counts over the

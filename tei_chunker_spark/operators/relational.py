@@ -844,3 +844,64 @@ def merge_upsert(base: DataFrame, changes: DataFrame) -> DataFrame:
         )
     )
     return merged
+
+
+def rollup_merge(base_rollup: DataFrame, delta: DataFrame) -> DataFrame:
+    """Incremental view maintenance for the per-(lang, source) corpus
+    rollup: merge a delta batch's PARTIAL aggregates into a maintained
+    rollup table instead of recomputing the corpus — the kernel behind
+    keeping a 100 TB corpus census fresh under daily ingest.  The
+    maintained aggregates are chosen to be mergeable (count, sum — the
+    classic algebraic aggregates): merged = group-sum of the union.
+    Derived values (mean length) are recomputed FROM the merged sums,
+    never averaged across batches (averaging averages is the textbook
+    IVM bug).
+
+    Output/maintained schema: (lang, source, n_docs, n_chars_sum,
+    mean_chars).  Identity: rollup_merge(rollup(A), B) == rollup(A ∪ B)
+    — pinned by test and by the oracle, which recomputes from scratch.
+
+    Shape at 100 TB: the delta aggregates with map-side partials
+    (delta-sized work), then ONE hash agg over
+    |rollup| + |delta groups| rows — corpus-size-independent."""
+    d = delta.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("n_chars_sum"),
+    )
+    merged = (
+        base_rollup.select("lang", "source", "n_docs", "n_chars_sum")
+        .unionByName(d)
+        .groupBy("lang", "source")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_chars_sum").cast("long").alias("n_chars_sum"),
+        )
+    )
+    return merged.select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_chars_sum",
+        F.round(F.col("n_chars_sum") / F.col("n_docs"), 6).alias("mean_chars"),
+    )
+
+
+def corpus_rollup(documents: DataFrame) -> DataFrame:
+    """The maintained rollup's from-scratch definition (rollup_merge's
+    identity partner): per-(lang, source) doc count, char sum, mean."""
+    return (
+        documents.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("n_chars_sum"),
+        )
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "n_chars_sum",
+            F.round(F.col("n_chars_sum") / F.col("n_docs"), 6).alias(
+                "mean_chars"
+            ),
+        )
+    )

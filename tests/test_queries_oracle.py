@@ -74,6 +74,7 @@ FAST_ORACLED = [
     "snapshot_diff",
     "merge_upsert",
     "bpe_pairs",
+    "rollup_merge",
     "revenue_grouping_sets",
     "doc_length_deciles",
 ]

@@ -371,3 +371,103 @@ def test_bpe_pairs_weighted_by_word_frequency(spark):
     assert rows["bc"].n_occurrences == 1
     assert rows["cd"].n_occurrences == 1
     assert "x" not in rows and len(rows) == 3
+
+
+# --- randomized cross-checks ------------------------------------------------
+
+
+def test_normalized_text_matches_python_reference(spark):
+    """normalized_text vs an independent Python re reference over a
+    charset stressing every cross-engine trap the repo has hit: the
+    ASCII-ws class members, \\x0b specifically, unicode letters, NBSP,
+    and punctuation runs (300 seeded random strings, one batched
+    compare)."""
+    import random
+    import re
+
+    from tei_chunker_spark.operators.dedup import _LOWER, _UPPER, normalized_text
+
+    rng = random.Random(99)
+    charset = "abcXYZ019 \t\n\x0b\f\r.,!?-_Ωé$@# "
+    texts = [
+        "".join(rng.choice(charset) for _ in range(rng.randrange(0, 40)))
+        for _ in range(300)
+    ]
+    ws = " \t\n\x0B\f\r"
+
+    def ref(t: str) -> str:
+        t = t.translate(str.maketrans(_UPPER, _LOWER))
+        t = re.sub(rf"[^a-z0-9{ws}]", "", t)
+        t = re.sub(rf"[{ws}]+", " ", t)
+        return re.sub(rf"^[{ws}]+|[{ws}]+$", "", t)
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.n
+        for r in df.select(
+            "doc_id", normalized_text(F.col("text")).alias("n")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == ref(t), repr(t)
+
+
+def test_deciles_random_corpus_matches_native(spark):
+    """Census-decomposed ntile vs Spark's native ntile on a seeded random
+    corpus (4 langs, heavy length ties, group sizes straddling k)."""
+    import random
+
+    rng = random.Random(41)
+    rows = [
+        (i, "w " * rng.randrange(0, 12), rng.choice(["en", "de", "fr", "xx"]))
+        for i in range(1, 150)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = relational.doc_length_deciles(docs)
+    base = docs.select(
+        "doc_id", "lang", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    naive = (
+        base.withColumn(
+            "decile",
+            F.ntile(10).over(
+                Window.partitionBy("lang").orderBy("n_tokens", "doc_id")
+            ),
+        )
+        .groupBy("lang", "decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )
+    assert got.exceptAll(naive).count() == 0
+    assert naive.exceptAll(got).count() == 0
+
+
+# --- rollup_merge -----------------------------------------------------------
+
+
+def test_rollup_merge_identity_and_new_groups(spark):
+    """merge(rollup(A), B) == rollup(A ∪ B), including groups that exist
+    only in the delta and the derived-mean recompute (never an average
+    of averages)."""
+    from tei_chunker_spark.operators.relational import corpus_rollup, rollup_merge
+
+    a = spark.createDataFrame(
+        [(1, "aaaa", "en", "s1"), (2, "bb", "en", "s1"), (3, "cccc", "de", "s2")],
+        "doc_id long, text string, lang string, source string",
+    )
+    b = spark.createDataFrame(
+        [(4, "dddddd", "en", "s1"), (5, "e", "fr", "s9")],
+        "doc_id long, text string, lang string, source string",
+    )
+    merged = sorted(map(tuple, rollup_merge(corpus_rollup(a), b).collect()))
+    scratch = sorted(map(tuple, corpus_rollup(a.unionByName(b)).collect()))
+    assert merged == scratch
+    got = {(r.lang, r.source): r for r in rollup_merge(corpus_rollup(a), b).collect()}
+    assert got[("en", "s1")].n_docs == 3
+    assert got[("en", "s1")].mean_chars == round(12 / 3, 6)
+    assert got[("fr", "s9")].n_docs == 1  # delta-only group
