@@ -471,3 +471,52 @@ def test_rollup_merge_identity_and_new_groups(spark):
     assert got[("en", "s1")].n_docs == 3
     assert got[("en", "s1")].mean_chars == round(12 / 3, 6)
     assert got[("fr", "s9")].n_docs == 1  # delta-only group
+
+
+# --- plan-shape pins for the round-5 scale claims ---------------------------
+
+
+def test_embed_quantize_plan_partial_aggregates_explode(spark):
+    """The posexplode's n x d rows must collapse to d rows per task
+    BEFORE the exchange (partial min/max), and the bounds must attach as
+    a broadcast — the operator's whole 100 TB story."""
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = (
+        embed_quantize(e)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "partial_min" in plan and "partial_max" in plan, plan[:1500]
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_vocab_and_bpe_plans_take_ordered(spark):
+    """Both top-k censuses must plan TakeOrderedAndProject over the agg
+    output — never a full sort of the vocabulary/pair table."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for df in (
+        corpusops.vocab_coverage(docs, k=30),
+        corpusops.bpe_merge_candidates(docs, k=20),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan, plan[:1500]
+
+
+def test_merge_and_diff_plans_single_shuffle_join(spark):
+    """merge_upsert and snapshot_diff are ONE join each on the unique
+    id; text/md5 must be projected in the scan stage (no text column
+    crossing the exchange is approximated by: exactly one join node)."""
+    import re
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+    from tei_chunker_spark.operators.relational import merge_upsert, snapshot_diff
+
+    changes = docs.limit(10).select(
+        "doc_id", F.lit("upsert").alias("op"), "text", "source"
+    )
+    p1 = merge_upsert(docs, changes)._jdf.queryExecution().executedPlan().toString()
+    p2 = snapshot_diff(docs, docs)._jdf.queryExecution().executedPlan().toString()
+    for p in (p1, p2):
+        joins = len(re.findall(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", p))
+        assert joins == 1, p[:2000]
