@@ -458,3 +458,84 @@ def dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def census_batch_writer(output_path: str):
+    """``foreachBatch`` body of ``census_foreach_batch_stream``: write
+    this batch's PARTIAL per-(lang, source) census — the streaming form
+    of relational.rollup_merge's delta aggregation — into a partition
+    keyed by batch_id (dynamic overwrite, so an at-least-once REPLAY of
+    a batch rewrites exactly its own partition: idempotent)."""
+    from pyspark.sql import functions as F
+
+    def write_batch(batch_df: "DataFrame", batch_id: int) -> None:
+        agg = (
+            batch_df.groupBy("lang", "source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum(F.length("text")).cast("long").alias("n_chars_sum"),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        (
+            agg.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(output_path)
+        )
+
+    return write_batch
+
+
+def corpus_census(spark: SparkSession, output_path: str) -> "DataFrame":
+    """Reader side of the maintained census: merge the per-batch
+    partials (rollup_merge's math — sum the mergeable aggregates, then
+    derive the mean) into the live (lang, source) census.  One hash agg
+    over O(groups x batches) rows, corpus-size-independent."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(output_path)
+        .groupBy("lang", "source")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_chars_sum").cast("long").alias("n_chars_sum"),
+        )
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "n_chars_sum",
+            F.round(F.col("n_chars_sum") / F.col("n_docs"), 6).alias(
+                "mean_chars"
+            ),
+        )
+    )
+
+
+def census_foreach_batch_stream(
+    spark: SparkSession,
+    docs_path: str,
+    checkpoint_path: str,
+    output_path: str,
+) -> StreamingQuery:
+    """Streaming incremental view maintenance: keep the per-(lang,
+    source) corpus census fresh as document files arrive — each
+    micro-batch contributes its partial aggregates (delta-sized work,
+    never a corpus rescan), ``corpus_census`` serves the merged view.
+    Same exactly-once construction as the hourly sink: at-least-once
+    foreachBatch delivery + idempotent per-batch_id partition overwrite
+    = effectively-once."""
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_path)
+    )
+    return (
+        stream.writeStream.foreachBatch(census_batch_writer(output_path))
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

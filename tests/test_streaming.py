@@ -376,3 +376,43 @@ def test_tws_processor_logic_with_fake_handle():
     assert out.to_dict("records") == [
         {"user_id": 2, "n_events": 1, "sum_value": 7.25}
     ]
+
+
+def test_census_stream_maintains_rollup_and_survives_replay(spark, tmp_path):
+    """Streaming IVM: two document files drain as separate micro-batches;
+    the merged census must equal relational.corpus_rollup over all files
+    (the batch groundtruth), and a replay of batch 0 must leave it
+    unchanged (idempotent per-batch_id partition overwrite)."""
+    import shutil
+
+    from tei_chunker_spark.operators.relational import corpus_rollup
+    from tei_chunker_spark.streaming.stream import (
+        census_batch_writer,
+        census_foreach_batch_stream,
+        corpus_census,
+    )
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    shutil.copy("/root/testdata/sf0.001/documents.parquet", src / "part-0.parquet")
+    shutil.copy("/root/testdata/sf0.001/documents.parquet", src / "part-1.parquet")
+    out = str(tmp_path / "census")
+    q = census_foreach_batch_stream(
+        spark, str(src), str(tmp_path / "ck_census"), out
+    )
+    assert q.awaitTermination(300)
+
+    def census():
+        return sorted(map(tuple, corpus_census(spark, out).collect()))
+
+    want = sorted(
+        map(tuple, corpus_rollup(spark.read.parquet(str(src))).collect())
+    )
+    batch_ids = {
+        r.batch_id for r in spark.read.parquet(out).select("batch_id").collect()
+    }
+    assert len(batch_ids) >= 2, batch_ids
+    assert census() == want
+    one = spark.read.parquet(str(src / "part-0.parquet"))
+    census_batch_writer(out)(one, min(batch_ids))
+    assert census() == want
