@@ -715,7 +715,7 @@ def doc_length_deciles(
         "lang",
         token_count(F.col("text")).cast("long").alias("n_tokens"),
     )
-    census = docs.groupBy("lang", "n_tokens").agg(
+    hist = docs.groupBy("lang", "n_tokens").agg(
         F.count(F.lit(1)).alias("_c")
     )
     w_census = (
@@ -723,14 +723,16 @@ def doc_length_deciles(
         .orderBy("n_tokens")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    census = census.select(
+    census = hist.select(
         "lang",
         "n_tokens",
         F.coalesce(F.sum("_c").over(w_census), F.lit(0).cast("long")).alias(
             "_before"
         ),
     )
-    totals = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("_n"))
+    # per-lang totals come from the HISTOGRAM, not a second corpus agg —
+    # the corpus is scanned exactly twice (histogram + ranked data side)
+    totals = hist.groupBy("lang").agg(F.sum("_c").alias("_n"))
     w_tie = Window.partitionBy("lang", "n_tokens").orderBy("doc_id")
     kk = int(k)
     # ntile(k) closed form: q = n div k rows per bucket, the first
