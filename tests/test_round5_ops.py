@@ -520,3 +520,43 @@ def test_merge_and_diff_plans_single_shuffle_join(spark):
     for p in (p1, p2):
         joins = len(re.findall(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", p))
         assert joins == 1, p[:2000]
+
+
+# --- curate CLI driver ------------------------------------------------------
+
+
+def test_curate_driver_funnel_and_packing(spark, tmp_path):
+    """The composed curation job: census monotone per gate, survivors
+    carry contiguous packing offsets, parquet output + census JSON land
+    on disk (the operational surface a user actually submits)."""
+    import json
+
+    from tei_chunker_spark.curate import curate
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    eval_docs = docs.filter(F.col("doc_id") % 50 == 0)
+    packed, census = curate(spark, docs, eval_docs)
+    assert (
+        census["input"]
+        >= census["after_exact_dedup"]
+        >= census["after_quality"]
+        >= census["after_decontamination"]
+        > 0
+    )
+    rows = sorted(packed.collect(), key=lambda r: r.start_offset)
+    assert len(rows) == census["after_decontamination"]
+    off = 0
+    for r in rows:
+        assert r.start_offset == off
+        off += r.n_tokens
+    # CLI end-to-end with output files
+    from tei_chunker_spark.curate import main
+
+    out = str(tmp_path / "curated")
+    src = f"{SF}/documents.parquet"
+    main([
+        "--input", src, "--eval", src, "--output", out,
+    ])
+    with open(f"{out}/_census.json") as fh:
+        c = json.load(fh)
+    assert c["after_decontamination"] == 0  # eval == train: all removed
