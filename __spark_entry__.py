@@ -546,6 +546,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # corpus + the remaining 1/3 as the delta batch; the oracle
     # recomputes from scratch over everything — the IVM identity itself
     # is the correctness check
+    q["ivf_pq_topk"] = lambda spark, sf: _cast_long(
+        quantize.ivf_pq_topk(
+            load(spark, sf, "embeddings"),
+            load(spark, sf, "embeddings").filter(F.col("vec_id") < 5),
+            k=10,
+        ),
+        ["rank"],
+    )
     q["rollup_merge"] = lambda spark, sf: relational.rollup_merge(
         relational.corpus_rollup(
             load(spark, sf, "documents").filter(F.col("doc_id") % 3 != 0)
@@ -2058,6 +2066,63 @@ rk as (
     from prs
 )
 select query_id, neighbor_id, cast(rank as bigint) as rank,
+       cast(adc_dist as bigint) as adc_dist
+from rk where rank <= 10
+"""
+    )
+
+    # ivf_pq_topk: the full IVF-PQ composition — the coarse trained-
+    # codebook chain (ann_ivf_trained's CTEs) + the per-subspace PQ
+    # chains (sharing a widened q that carries the raw embedding for the
+    # coarse distance) + the ADC distance restricted to the query's own
+    # coarse cell.
+    _ivfpq_parts = [
+        "q as (select vec_id, embedding, [cast(round(x::double * 10000) "
+        "as bigint) for x in embedding] as qv from embeddings)"
+    ] + _pq_parts[1:]
+    o["ivf_pq_topk"] = (
+        "with "
+        + ",\n".join(_ivfpq_parts)
+        + """,
+c0 as (
+    select cast(row_number() over (order by vec_id) - 1 as int) as cell, qv as cv
+    from q order by vec_id limit 8
+),"""
+        + _assign.format(n=1, m=0, dist=_dist)
+        + ","
+        + _assign.format(n=2, m=1, dist=_dist)
+        + f""",
+af as (
+    select vec_id, cell from (
+        select x.vec_id, c.cell,
+               row_number() over (
+                   partition by x.vec_id order by {_dist}, c.cell
+               ) as rn
+        from q x cross join c2 c
+    ) where rn = 1
+),
+xc as (
+    select p0f.vec_id as neighbor_id, afx.cell, {_adc_cvcols}
+    from p0f {_pq_joins} {_adc_cvjoins}
+    join af afx on p0f.vec_id = afx.vec_id
+),
+aq as (
+    select q.vec_id as query_id, q.qv, af.cell
+    from q join af on q.vec_id = af.vec_id
+    where q.vec_id < 5
+),
+prs as (
+    select aq.query_id, xc.neighbor_id, xc.cell, {_adc_terms} as adc_dist
+    from aq join xc on aq.cell = xc.cell and aq.query_id != xc.neighbor_id
+),
+rk as (
+    select query_id, neighbor_id, cell, adc_dist,
+           row_number() over (
+               partition by query_id order by adc_dist, neighbor_id
+           ) as rank
+    from prs
+)
+select query_id, neighbor_id, cell, cast(rank as bigint) as rank,
        cast(adc_dist as bigint) as adc_dist
 from rk where rank <= 10
 """

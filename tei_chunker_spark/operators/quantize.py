@@ -300,3 +300,78 @@ def pq_adc_topk(
         rank_alias="rank",
     )
     return ranked.select("query_id", "neighbor_id", "rank", "adc_dist")
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 8,
+    m: int = 4,
+    pq_cells: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """The production IVF-PQ topology end-to-end: coarse-quantize the
+    corpus into ``n_cells`` inverted lists (kmeans.py's trained integer
+    codebook), PQ-encode every vector, then answer each query by probing
+    ITS OWN coarse cell and ranking the cell's members by ADC — the
+    exact composition FAISS/SCaNN-style services deploy (probe prunes
+    the corpus, codes shrink the scan, LUTs replace the fold).
+
+    Everything stays in the deterministic integer domain, so the DuckDB
+    oracle (coarse chain + per-subspace PQ chains + the same LUT
+    distance, composed) matches bit-for-bit.  Ranking (adc_dist asc,
+    neighbor_id asc) within the probed cell; self excluded.
+
+    Shape at 100 TB: at write time the corpus is partitioned by coarse
+    cell, so a probe reads ONE cell's code files (partition pruning does
+    the 1/n_cells fan-out cut) and scans m-int codes, not vectors;
+    queries + LUTs broadcast; top-k via the shared two-stage salted
+    rank.  Recall knobs (more probes, bigger m) trade scan volume for
+    quality — the multi-probe variant of the coarse step is
+    similarity.ann_ivf_multiprobe's device, composable here."""
+    from .kmeans import assign_cells, train_ivf_centroids
+    from .ranking import two_stage_topk
+
+    coarse = train_ivf_centroids(embeddings, n_cells=n_cells, iters=iters)
+    books, w = pq_train(embeddings, m=m, n_cells=pq_cells, iters=iters)
+    m = int(m)
+    corpus_cells = assign_cells(
+        embeddings.select("vec_id", "embedding"), coarse
+    ).select(F.col("vec_id").alias("neighbor_id"), "cell")
+    codes = _pq_with_dists(embeddings, books, w).select(
+        F.col("vec_id").alias("neighbor_id"),
+        *[
+            (F.expr(f"array_position(_d{j}, array_min(_d{j}))") - 1)
+            .cast("int")
+            .alias(f"_c{j}")
+            for j in range(m)
+        ],
+    )
+    corpus = codes.join(corpus_cells, "neighbor_id")
+    qcells = assign_cells(
+        queries.select("vec_id", "embedding"), coarse
+    ).select(F.col("vec_id").alias("query_id"), "cell")
+    luts = _pq_with_dists(queries, books, w).select(
+        F.col("vec_id").alias("query_id"),
+        *[F.col(f"_d{j}").alias(f"_lut{j}") for j in range(m)],
+    )
+    qside = qcells.join(luts, "query_id")
+    adc = None
+    for j in range(m):
+        t = F.expr(f"_lut{j}[_c{j}]")
+        adc = t if adc is None else adc + t
+    pairs = (
+        corpus.join(F.broadcast(qside), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("adc_dist", adc.cast("long"))
+    )
+    ranked = two_stage_topk(
+        pairs,
+        part_cols=["query_id"],
+        order_cols=[F.col("adc_dist").asc(), F.col("neighbor_id").asc()],
+        salt_col="neighbor_id",
+        k=k,
+        rank_alias="rank",
+    )
+    return ranked.select("query_id", "neighbor_id", "cell", "rank", "adc_dist")

@@ -75,6 +75,7 @@ FAST_ORACLED = [
     "merge_upsert",
     "bpe_pairs",
     "rollup_merge",
+    "ivf_pq_topk",
     "revenue_grouping_sets",
     "doc_length_deciles",
 ]

@@ -560,3 +560,33 @@ def test_curate_driver_funnel_and_packing(spark, tmp_path):
     with open(f"{out}/_census.json") as fh:
         c = json.load(fh)
     assert c["after_decontamination"] == 0  # eval == train: all removed
+
+
+def test_ivf_pq_topk_probe_restricts_to_query_cell(spark):
+    """Every returned neighbor shares the query's coarse cell, ranks are
+    1..k with non-decreasing ADC distance, self excluded; and within the
+    probed cell the ranking must agree with global ADC restricted to
+    that cell (the probe changes the candidate set, not the metric)."""
+    from tei_chunker_spark.operators.quantize import ivf_pq_topk, pq_adc_topk
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 3)
+    rows = sorted(
+        ivf_pq_topk(e, q, k=5).collect(), key=lambda r: (r.query_id, r.rank)
+    )
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    full = {
+        (r.query_id, r.neighbor_id): r.adc_dist
+        for r in pq_adc_topk(e, q, k=500).collect()
+    }
+    for qid, rs in by_q.items():
+        cells = {r.cell for r in rs}
+        assert len(cells) == 1  # one probed cell per query
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        dists = [r.adc_dist for r in rs]
+        assert dists == sorted(dists)
+        assert all(r.neighbor_id != qid for r in rs)
+        for r in rs:  # metric identical to the global ADC computation
+            assert full[(qid, r.neighbor_id)] == r.adc_dist
