@@ -554,6 +554,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         ["rank"],
     )
+    q["ivf_pq_multiprobe"] = lambda spark, sf: _cast_long(
+        quantize.ivf_pq_multiprobe_topk(
+            load(spark, sf, "embeddings"),
+            load(spark, sf, "embeddings").filter(F.col("vec_id") < 5),
+            k=10,
+            n_probe=2,
+        ),
+        ["rank"],
+    )
     q["rollup_merge"] = lambda spark, sf: relational.rollup_merge(
         relational.corpus_rollup(
             load(spark, sf, "documents").filter(F.col("doc_id") % 3 != 0)
@@ -2110,6 +2119,62 @@ aq as (
     select q.vec_id as query_id, q.qv, af.cell
     from q join af on q.vec_id = af.vec_id
     where q.vec_id < 5
+),
+prs as (
+    select aq.query_id, xc.neighbor_id, xc.cell, {_adc_terms} as adc_dist
+    from aq join xc on aq.cell = xc.cell and aq.query_id != xc.neighbor_id
+),
+rk as (
+    select query_id, neighbor_id, cell, adc_dist,
+           row_number() over (
+               partition by query_id order by adc_dist, neighbor_id
+           ) as rank
+    from prs
+)
+select query_id, neighbor_id, cell, cast(rank as bigint) as rank,
+       cast(adc_dist as bigint) as adc_dist
+from rk where rank <= 10
+"""
+    )
+
+    # ivf_pq_multiprobe: same composition, query fans out to its 2
+    # nearest coarse cells (row_number <= 2 over exact integer dists,
+    # ties to the smaller cell — ann_ivf_multiprobe's rule); a corpus
+    # vector lives in exactly one cell so the union needs no dedup.
+    o["ivf_pq_multiprobe"] = (
+        "with "
+        + ",\n".join(_ivfpq_parts)
+        + """,
+c0 as (
+    select cast(row_number() over (order by vec_id) - 1 as int) as cell, qv as cv
+    from q order by vec_id limit 8
+),"""
+        + _assign.format(n=1, m=0, dist=_dist)
+        + ","
+        + _assign.format(n=2, m=1, dist=_dist)
+        + f""",
+af as (
+    select vec_id, cell from (
+        select x.vec_id, c.cell,
+               row_number() over (
+                   partition by x.vec_id order by {_dist}, c.cell
+               ) as rn
+        from q x cross join c2 c
+    ) where rn = 1
+),
+xc as (
+    select p0f.vec_id as neighbor_id, afx.cell, {_adc_cvcols}
+    from p0f {_pq_joins} {_adc_cvjoins}
+    join af afx on p0f.vec_id = afx.vec_id
+),
+aq as (
+    select vec_id as query_id, qv, cell from (
+        select x.vec_id, x.qv, c.cell,
+               row_number() over (
+                   partition by x.vec_id order by {_dist}, c.cell
+               ) as rn
+        from q x cross join c2 c
+    ) where rn <= 2 and vec_id < 5
 ),
 prs as (
     select aq.query_id, xc.neighbor_id, xc.cell, {_adc_terms} as adc_dist

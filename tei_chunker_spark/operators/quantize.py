@@ -375,3 +375,77 @@ def ivf_pq_topk(
         rank_alias="rank",
     )
     return ranked.select("query_id", "neighbor_id", "cell", "rank", "adc_dist")
+
+
+def ivf_pq_multiprobe_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 8,
+    m: int = 4,
+    pq_cells: int = 8,
+    iters: int = 2,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-PQ with the production recall knob: each query probes its
+    ``n_probe`` nearest coarse cells (kmeans._with_probe_cells — exact
+    integer distances, ties to the smaller cell) and ADC-ranks the union
+    of those cells' members.  Single-probe misses neighbors just across
+    a cell boundary; probing p cells scans ~p/n_cells of the codes while
+    recovering most boundary losses — same trade as
+    ann_ivf_multiprobe_topk, now over codes instead of vectors.
+
+    Physical shape: corpus rows keep their ONE stored cell (the
+    partition key at 100 TB); only the tiny query+LUT side fans out
+    x n_probe before the broadcast.  A neighbor lives in exactly one
+    cell, so the probe union is dedup-free by construction."""
+    from .kmeans import _with_probe_cells, assign_cells, quantized, train_ivf_centroids
+    from .ranking import two_stage_topk
+
+    coarse = train_ivf_centroids(embeddings, n_cells=n_cells, iters=iters)
+    books, w = pq_train(embeddings, m=m, n_cells=pq_cells, iters=iters)
+    m = int(m)
+    corpus = _pq_with_dists(embeddings, books, w).select(
+        F.col("vec_id").alias("neighbor_id"),
+        *[
+            (F.expr(f"array_position(_d{j}, array_min(_d{j}))") - 1)
+            .cast("int")
+            .alias(f"_c{j}")
+            for j in range(m)
+        ],
+    ).join(
+        assign_cells(
+            embeddings.select("vec_id", "embedding"), coarse
+        ).select(F.col("vec_id").alias("neighbor_id"), "cell"),
+        "neighbor_id",
+    )
+    probes = _with_probe_cells(
+        queries.select(
+            F.col("vec_id").alias("query_id"), quantized("embedding").alias("qv")
+        ),
+        coarse,
+        n_probe,
+    ).select("query_id", "cell")
+    luts = _pq_with_dists(queries, books, w).select(
+        F.col("vec_id").alias("query_id"),
+        *[F.col(f"_d{j}").alias(f"_lut{j}") for j in range(m)],
+    )
+    qside = probes.join(luts, "query_id")
+    adc = None
+    for j in range(m):
+        t = F.expr(f"_lut{j}[_c{j}]")
+        adc = t if adc is None else adc + t
+    pairs = (
+        corpus.join(F.broadcast(qside), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("adc_dist", adc.cast("long"))
+    )
+    ranked = two_stage_topk(
+        pairs,
+        part_cols=["query_id"],
+        order_cols=[F.col("adc_dist").asc(), F.col("neighbor_id").asc()],
+        salt_col="neighbor_id",
+        k=k,
+        rank_alias="rank",
+    )
+    return ranked.select("query_id", "neighbor_id", "cell", "rank", "adc_dist")

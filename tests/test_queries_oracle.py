@@ -76,6 +76,7 @@ FAST_ORACLED = [
     "bpe_pairs",
     "rollup_merge",
     "ivf_pq_topk",
+    "ivf_pq_multiprobe",
     "revenue_grouping_sets",
     "doc_length_deciles",
 ]

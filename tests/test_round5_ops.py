@@ -590,3 +590,35 @@ def test_ivf_pq_topk_probe_restricts_to_query_cell(spark):
         assert all(r.neighbor_id != qid for r in rs)
         for r in rs:  # metric identical to the global ADC computation
             assert full[(qid, r.neighbor_id)] == r.adc_dist
+
+
+def test_ivf_pq_multiprobe_recall_not_worse_than_single(spark):
+    """Multi-probe candidates are a superset of single-probe, so the
+    probed ADC top-k must be at least as close to global ADC: for every
+    query, multiprobe's rank-1 distance <= single-probe's rank-1, and
+    its top-k set overlap with global ADC top-k is >= single-probe's."""
+    from tei_chunker_spark.operators.quantize import (
+        ivf_pq_multiprobe_topk,
+        ivf_pq_topk,
+        pq_adc_topk,
+    )
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 3)
+
+    def topmap(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.query_id, {})[r.neighbor_id] = (r.rank, r.adc_dist)
+        return out
+
+    single = topmap(ivf_pq_topk(e, q, k=5))
+    multi = topmap(ivf_pq_multiprobe_topk(e, q, k=5, n_probe=2))
+    glob = topmap(pq_adc_topk(e, q, k=5))
+    for qid in single:
+        s1 = min(d for (_, d) in single[qid].values())
+        m1 = min(d for (_, d) in multi[qid].values())
+        assert m1 <= s1
+        ov_s = len(set(single[qid]) & set(glob[qid]))
+        ov_m = len(set(multi[qid]) & set(glob[qid]))
+        assert ov_m >= ov_s
