@@ -569,6 +569,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         load(spark, sf, "documents").filter(F.col("doc_id") % 3 == 0),
     )
+    # token-budget mixture sampling: zero / small / large / default
+    # budgets all exercised; the budget map is mirrored verbatim in SQL
+    q["budget_sample"] = lambda spark, sf: corpusops.budget_sample_census(
+        load(spark, sf, "documents"),
+        budgets={"src0": 500, "src5": 1200, "src13": 0},
+        default_budget=800,
+    )
     q["bpe_pairs"] = lambda spark, sf: corpusops.bpe_merge_candidates(
         load(spark, sf, "documents"), k=20
     )
@@ -1828,6 +1835,41 @@ select lang, source,
        cast(sum(length(text)) as bigint) as n_chars_sum,
        round(cast(sum(length(text)) as bigint) / cast(count(*) as double), 6) as mean_chars
 from documents group by lang, source
+"""
+
+    # budget_sample: the naive per-source running sum over (md5, id)
+    # order — bit-equality proves the per-(source, bucket) decomposition
+    # exact (same proof style as seq_pack_hash's oracle).
+    _BUDGET_CASE = (
+        "case when source = 'src0' then 500 when source = 'src5' then 1200 "
+        "when source = 'src13' then 0 else 800 end"
+    )
+    o["budget_sample"] = f"""
+with t as (
+    select source, cast(doc_id as varchar) as sid,
+           md5(cast(doc_id as varchar)) as h,
+           cast(case when regexp_matches(text, '^[ \t\n\x0b\f\r]*$') then 0 else len({_TOKENS}) end as bigint) as n_tokens
+    from documents
+),
+c as (
+    select source, n_tokens,
+           cast(sum(n_tokens) over (
+               partition by source order by h, sid
+               rows between unbounded preceding and current row
+           ) as bigint) as cum
+    from t
+),
+k as (
+    select source, n_tokens,
+           cast({_BUDGET_CASE} as bigint) as budget,
+           case when cum - n_tokens < ({_BUDGET_CASE}) then 1 else 0 end as keep
+    from c
+)
+select source, max(budget) as budget,
+       cast(count(*) as bigint) as n_docs,
+       cast(sum(keep) as bigint) as n_kept,
+       cast(sum(keep * n_tokens) as bigint) as tokens_kept
+from k group by source
 """
 
     # bpe_pairs: corpus-weighted adjacent char-pair counts over the

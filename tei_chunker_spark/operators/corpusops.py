@@ -766,3 +766,84 @@ def bpe_merge_candidates(documents: DataFrame, k: int = 20) -> DataFrame:
         "pair",
         "n_occurrences",
     )
+
+
+def budget_sample_census(
+    documents: DataFrame,
+    budgets: Mapping[str, int],
+    default_budget: int = 0,
+    n_nibbles: int = 2,
+) -> DataFrame:
+    """Token-budget mixture sampling: per source, keep documents in
+    md5-hash order until the source's token budget is reached — the
+    operator that turns per-source mixture weights ("20B tokens of
+    crawl, 5B of books") into a concrete keep-set.  A document is kept
+    iff its START offset in the source's hash-ordered token stream is
+    strictly below the budget (deterministic prefix rule — the one
+    boundary-crossing doc is included, so a nonzero budget always
+    yields at least one doc and budget growth is monotone).  Sources
+    absent from ``budgets`` get ``default_budget``.
+
+    Output census: one row per source — (source, budget, n_docs,
+    n_kept, round(tokens_kept)) where tokens_kept counts the kept docs'
+    full token counts.
+
+    Shape at 100 TB: seq_pack_by_hash's two-level prefix sum,
+    partitioned by source — per-(source, md5-prefix bucket) totals (one
+    hash agg), exclusive offsets over the per-source bucket census (the
+    only ordered windows, over sources x 16^n_nibbles rows), broadcast
+    back, per-(source, bucket) running sums; the census is one final
+    hash agg.  The hash order is the same training-pipeline shuffle
+    seq_pack_by_hash uses, so the kept set is a uniform sample of each
+    source."""
+    n_nibbles = int(n_nibbles)
+    if not 1 <= n_nibbles <= 7:
+        raise ValueError(f"n_nibbles must be in 1..7, got {n_nibbles}")
+    budget_col = F.lit(int(default_budget))
+    for src, b in sorted(budgets.items()):
+        budget_col = F.when(F.col("source") == src, F.lit(int(b))).otherwise(
+            budget_col
+        )
+    docs = documents.select(
+        "source",
+        F.col("doc_id").cast("string").alias("_sid"),
+        F.expr("md5(cast(doc_id as string))").alias("_h"),
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    ).withColumn(
+        "_b",
+        F.expr(f"cast(conv(substring(_h, 1, {n_nibbles}), 16, 10) as int)"),
+    )
+    totals = docs.groupBy("source", "_b").agg(
+        F.sum("n_tokens").alias("_bt")
+    )
+    offs = totals.withColumn(
+        "_off",
+        F.coalesce(
+            F.sum("_bt").over(
+                Window.partitionBy("source")
+                .orderBy("_b")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0).cast("long"),
+        ),
+    ).select("source", "_b", "_off")
+    w = (
+        Window.partitionBy("source", "_b")
+        .orderBy("_h", "_sid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    placed = (
+        docs.join(F.broadcast(offs), ["source", "_b"])
+        .withColumn("_cum", F.col("_off") + F.sum("n_tokens").over(w))
+        .withColumn("_start", F.col("_cum") - F.col("n_tokens"))
+        .withColumn("_budget", budget_col.cast("long"))
+        .withColumn("_keep", (F.col("_start") < F.col("_budget")).cast("int"))
+    )
+    return placed.groupBy("source").agg(
+        F.max("_budget").alias("budget"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_keep").cast("long").alias("n_kept"),
+        F.sum(F.col("_keep") * F.col("n_tokens")).cast("long").alias(
+            "tokens_kept"
+        ),
+    )

@@ -74,6 +74,7 @@ FAST_ORACLED = [
     "snapshot_diff",
     "merge_upsert",
     "bpe_pairs",
+    "budget_sample",
     "rollup_merge",
     "ivf_pq_topk",
     "ivf_pq_multiprobe",

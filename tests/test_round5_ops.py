@@ -622,3 +622,70 @@ def test_ivf_pq_multiprobe_recall_not_worse_than_single(spark):
         ov_s = len(set(single[qid]) & set(glob[qid]))
         ov_m = len(set(multi[qid]) & set(glob[qid]))
         assert ov_m >= ov_s
+
+
+# --- budget_sample_census ---------------------------------------------------
+
+
+def test_budget_sample_semantics(spark):
+    """Zero budget keeps nothing; a boundary-crossing doc is kept (start
+    < budget); a budget >= source total keeps everything; monotone in
+    the budget."""
+    docs = spark.createDataFrame(
+        [(i, "w " * 10, "en", "a") for i in range(1, 6)]
+        + [(10, "x " * 4, "en", "b"), (11, "y " * 4, "en", "c")],
+        "doc_id long, text string, lang string, source string",
+    )
+    got = {
+        r.source: r
+        for r in corpusops.budget_sample_census(
+            docs, budgets={"a": 25, "b": 0}, default_budget=1000
+        ).collect()
+    }
+    a = got["a"]
+    # source a: 5 docs x 10 tokens in hash order; starts 0,10,20,30,40 —
+    # starts 0,10,20 < 25 => 3 kept incl. the doc crossing the boundary
+    assert (a.n_docs, a.n_kept, a.tokens_kept, a.budget) == (5, 3, 30, 25)
+    assert (got["b"].n_kept, got["b"].tokens_kept) == (0, 0)
+    assert got["c"].n_kept == 1  # default budget covers the whole source
+    bigger = {
+        r.source: r.n_kept
+        for r in corpusops.budget_sample_census(
+            docs, budgets={"a": 26, "b": 0}, default_budget=1000
+        ).collect()
+    }
+    assert bigger["a"] >= a.n_kept
+
+
+def test_budget_sample_matches_naive_window(spark):
+    """Two-level (source, md5-bucket) decomposition == a single
+    per-source running-sum window over (md5, id) order on the real
+    corpus."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = corpusops.budget_sample_census(docs, budgets={}, default_budget=700)
+    base = docs.select(
+        "source",
+        F.col("doc_id").cast("string").alias("sid"),
+        F.expr("md5(cast(doc_id as string))").alias("h"),
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h", "sid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    naive = (
+        base.withColumn("cum", F.sum("n_tokens").over(w))
+        .withColumn("keep", ((F.col("cum") - F.col("n_tokens")) < 700).cast("int"))
+        .groupBy("source")
+        .agg(
+            F.lit(700).cast("long").alias("budget"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("keep").cast("long").alias("n_kept"),
+            F.sum(F.col("keep") * F.col("n_tokens")).cast("long").alias("tokens_kept"),
+        )
+    )
+    assert got.exceptAll(naive).count() == 0
+    assert naive.exceptAll(got).count() == 0
