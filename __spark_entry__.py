@@ -263,6 +263,71 @@ simhash_t as (
 # ---------------------------------------------------------------------------
 
 
+# Driver-recorded correctness window: the driver persists oracle results
+# for the FIRST 50 queries() entries each round (CORRECTNESS_rN.json).
+# Round-6 rotation (VERDICT r5 item 1): every query added in rounds 3-5
+# — none of which ever appeared in a driver correctness file — comes
+# first, then round-6 additions, then the most load-bearing §2 queries
+# fill the window.  Long-stable extraction/TPC entries rotated past
+# position 50 keep their r1-r5 driver records and remain gated by
+# pytest + scripts/check_oracles.py (ORACLES_rN.json artifact).
+_WINDOW_FIRST = [
+    # rounds 3-5, never driver-recorded (26)
+    "seq_pack",
+    "seq_pack_hash",
+    "doc_repetition",
+    "curation_census",
+    "decontaminate",
+    "stratified_sample",
+    "boilerplate_stats",
+    "doc_familiarity",
+    "corpus_bigrams",
+    "doc_top_terms",
+    "doc_segments_udtf",
+    "vocab_coverage",
+    "source_stats",
+    "embed_quantize",
+    "pq_encode",
+    "dedup_normalized",
+    "snapshot_diff",
+    "ivf_pq_topk",
+    "ivf_pq_multiprobe",
+    "rollup_merge",
+    "budget_sample",
+    "bpe_pairs",
+    "merge_upsert",
+    "pq_adc_topk",
+    "revenue_grouping_sets",
+    "doc_length_deciles",
+    # round-6 additions (never recorded) slot here, before the fillers
+    # load-bearing long-green fillers (window positions up to 50)
+    "extract_spans_pipeline",
+    "extract_doc_metrics",
+    "extract_sections",
+    "media_features_stub",
+    "media_frame_sample",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash_banded",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_trained",
+    "dedup_components",
+    "dedup_canonical",
+    "ann_bruteforce_topk",
+    "ann_ivf_trained",
+    "ann_ivf_multiprobe",
+    "events_asof_bucketed",
+    "events_sessionize",
+    "pricing_summary",
+    "revenue_by_nation",
+    "events_range_join",
+    "top_docs_per_lang",
+    "metrics_cube",
+    "events_variant_hist",
+    "pii_scrub",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
@@ -597,7 +662,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_length_deciles"] = lambda spark, sf: relational.doc_length_deciles(
         load(spark, sf, "documents")
     )
-    return q
+    missing = [n for n in _WINDOW_FIRST if n not in q]
+    if missing:  # fail fast on a typo'd window entry
+        raise KeyError(f"_WINDOW_FIRST names unknown queries: {missing}")
+    ordered = {n: q[n] for n in _WINDOW_FIRST}
+    ordered.update((n, f) for n, f in q.items() if n not in ordered)
+    return ordered
 
 
 def _asof_enrich(
