@@ -826,14 +826,21 @@ def budget_sample_census(
             ),
             F.lit(0).cast("long"),
         ),
-    ).select("source", "_b", "_off")
+    ).select(F.col("source").alias("_os"), F.col("_b").alias("_ob"), "_off")
     w = (
         Window.partitionBy("source", "_b")
         .orderBy("_h", "_sid")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     placed = (
-        docs.join(F.broadcast(offs), ["source", "_b"])
+        # null-safe on source: a NULL-source slice is a real mixture
+        # component (it gets default_budget) — a plain equi-join would
+        # silently drop it from the census (round-5 advisory)
+        docs.join(
+            F.broadcast(offs),
+            F.col("source").eqNullSafe(F.col("_os"))
+            & (F.col("_b") == F.col("_ob")),
+        )
         .withColumn("_cum", F.col("_off") + F.sum("n_tokens").over(w))
         .withColumn("_start", F.col("_cum") - F.col("n_tokens"))
         .withColumn("_budget", budget_col.cast("long"))

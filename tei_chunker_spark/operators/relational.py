@@ -680,10 +680,13 @@ def revenue_grouping_sets(orders: DataFrame) -> DataFrame:
 
 
 def doc_length_deciles(
-    documents: DataFrame, k: int = 10, broadcast_census: bool = True
+    documents: DataFrame,
+    k: int = 10,
+    broadcast_census: bool = True,
+    n_salt_nibbles: int = 2,
 ) -> DataFrame:
     """Per-language document-length decile summary: ntile(``k``) over
-    (n_tokens, doc_id) within each language, reported as (lang, decile,
+    (n_tokens) within each language, reported as (lang, decile,
     n_docs, min_tokens, max_tokens) — the length-distribution table a
     curation job reads before choosing truncation/packing budgets.
 
@@ -691,49 +694,74 @@ def doc_length_deciles(
     low-cardinality-key trap this engine refuses everywhere (one
     language = one task over its whole corpus slice).  Instead the rank
     is decomposed exactly like seq_pack's prefix sum: (1) a (lang,
-    n_tokens) histogram census — hash agg, bounded by n_langs x distinct
-    lengths, orders of magnitude smaller than the corpus; (2) exclusive
-    cumulative counts over the census (the only per-lang ordered window,
-    over the census); (3) per-(lang, n_tokens) row_number over the data
-    — splittable, partitions are tie-groups only; rank = census prefix +
-    tie row_number, and ntile's bucket is then a closed-form function of
-    (rank, n): the first n % k buckets get n div k + 1 rows, the rest
-    n div k (the standard SQL ntile definition, which the DuckDB oracle's
-    native ntile re-derives independently).  The final rollup is a hash
-    agg on (lang, decile).
+    n_tokens, salt) histogram census — hash agg, bounded by n_langs x
+    distinct lengths x 16^n_salt_nibbles OCCUPIED cells, orders of
+    magnitude smaller than the corpus; (2) exclusive cumulative counts
+    over the census (the only per-lang ordered window, over the census);
+    (3) per-(lang, n_tokens, salt) row_number over the data; rank =
+    census prefix + in-cell row_number, and ntile's bucket is then a
+    closed-form function of (rank, n): the first n % k buckets get
+    n div k + 1 rows, the rest n div k (the standard SQL ntile
+    definition, which the DuckDB oracle's native ntile re-derives
+    independently).  The final rollup is a hash agg on (lang, decile).
 
-    ``broadcast_census``: the census is n_langs x distinct lengths —
-    typically a few MB, so it broadcasts by default; for corpora where
-    distinct lengths explode (no truncation, millions of length values x
-    many langs) set False and the attach becomes an ordinary shuffled
-    join on (lang, n_tokens), a well-distributed two-column key (same
-    escape-hatch pattern as contamination_stats' broadcast_eval)."""
+    The salt is the first ``n_salt_nibbles`` of md5(doc_id) — it splits
+    LENGTH-TIE groups, so a degenerate fixed-length corpus (exactly what
+    boilerplate/dedup outputs produce) no longer collapses the tie
+    window into one task (round-5 verdict item 6): the largest window
+    partition is tie_size / 16^n_salt_nibbles.  Ranks are assigned in
+    (n_tokens, salt, md5, doc_id) order — a different tie-break than
+    native ntile's (n_tokens, doc_id), which is invisible in the output:
+    every member of a tie group has the same (lang, n_tokens), so any
+    bijective in-tie ranking yields the identical census.
+
+    NULL langs are first-class: the census joins are null-safe (``<=>``),
+    so a NULL-lang slice gets its own deciles exactly as native
+    ntile-partition-by would (round-5 advisory — inner equi-joins were
+    silently dropping them).
+
+    ``broadcast_census``: the census typically broadcasts; for corpora
+    where (lengths x salt) cells explode set False and the attach
+    becomes an ordinary shuffled join on the well-distributed
+    (lang, n_tokens, salt) key (same escape hatch as
+    contamination_stats' broadcast_eval)."""
     from ..functions.columns import token_count
 
+    nn = int(n_salt_nibbles)
+    if not 1 <= nn <= 7:
+        raise ValueError(f"n_salt_nibbles must be in 1..7, got {nn}")
     docs = documents.select(
         "doc_id",
         "lang",
+        F.expr("md5(cast(doc_id as string))").alias("_h"),
         token_count(F.col("text")).cast("long").alias("n_tokens"),
+    ).withColumn(
+        "_sb", F.expr(f"cast(conv(substring(_h, 1, {nn}), 16, 10) as int)")
     )
-    hist = docs.groupBy("lang", "n_tokens").agg(
+    hist = docs.groupBy("lang", "n_tokens", "_sb").agg(
         F.count(F.lit(1)).alias("_c")
     )
     w_census = (
         Window.partitionBy("lang")
-        .orderBy("n_tokens")
+        .orderBy("n_tokens", "_sb")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     census = hist.select(
-        "lang",
-        "n_tokens",
+        F.col("lang").alias("_cl"),
+        F.col("n_tokens").alias("_cn"),
+        F.col("_sb").alias("_cb"),
         F.coalesce(F.sum("_c").over(w_census), F.lit(0).cast("long")).alias(
             "_before"
         ),
     )
     # per-lang totals come from the HISTOGRAM, not a second corpus agg —
     # the corpus is scanned exactly twice (histogram + ranked data side)
-    totals = hist.groupBy("lang").agg(F.sum("_c").alias("_n"))
-    w_tie = Window.partitionBy("lang", "n_tokens").orderBy("doc_id")
+    totals = hist.groupBy("lang").agg(F.sum("_c").alias("_n")).select(
+        F.col("lang").alias("_tl"), "_n"
+    )
+    w_tie = Window.partitionBy("lang", "n_tokens", "_sb").orderBy(
+        "_h", "doc_id"
+    )
     kk = int(k)
     # ntile(k) closed form: q = n div k rows per bucket, the first
     # m = n % k buckets hold q + 1.  greatest(q, 1) only guards the
@@ -748,8 +776,13 @@ def doc_length_deciles(
     maybe_bc = F.broadcast if broadcast_census else (lambda df: df)
     ranked = (
         docs.withColumn("_rn", F.row_number().over(w_tie))
-        .join(maybe_bc(census), ["lang", "n_tokens"])
-        .join(maybe_bc(totals), "lang")
+        .join(
+            maybe_bc(census),
+            F.col("lang").eqNullSafe(F.col("_cl"))
+            & (F.col("n_tokens") == F.col("_cn"))
+            & (F.col("_sb") == F.col("_cb")),
+        )
+        .join(maybe_bc(totals), F.col("lang").eqNullSafe(F.col("_tl")))
         .withColumn("_r", F.col("_before") + F.col("_rn"))
         .withColumn("decile", bucket.cast("int"))
     )
@@ -807,17 +840,35 @@ def merge_upsert(base: DataFrame, changes: DataFrame) -> DataFrame:
     copy-on-write's logical result, ready for an overwrite or a
     partition-level replace.  The cardinality check is one aggregate on
     the (small) change feed."""
-    dup = (
+    # One validation pass over the (small) change feed: the MERGE
+    # cardinality rule AND the op domain.  An out-of-domain op (e.g.
+    # 'update', 'Upsert', NULL) would otherwise fall through the merge
+    # filter and silently DELETE the matched base row — data loss, not
+    # carry-forward (round-5 advisory).
+    checks = (
         changes.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") > 1)
-        .limit(1)
-        .count()
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(
+                F.when(F.col("op").isin("upsert", "delete"), 0).otherwise(1)
+            ).alias("_bad_op"),
+        )
+        .agg(
+            F.max("_n").alias("_max_n"),
+            F.sum("_bad_op").alias("_n_bad_op"),
+        )
+        .first()
     )
-    if dup:
+    if checks["_max_n"] is not None and checks["_max_n"] > 1:
         raise ValueError(
             "merge_upsert: multiple change rows for one doc_id — MERGE "
             "cardinality violation; deduplicate the change feed first"
+        )
+    if checks["_n_bad_op"]:
+        raise ValueError(
+            "merge_upsert: change feed contains op values outside "
+            "{'upsert', 'delete'} (ops are case-sensitive; NULL is "
+            "invalid) — fix the feed instead of silently dropping rows"
         )
     b = base.select(
         "doc_id",

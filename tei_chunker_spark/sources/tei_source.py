@@ -113,23 +113,25 @@ class SpanSinkWriter(DataSourceWriter):
             if f.startswith("part-") and f.endswith(".jsonl")
         )
         start = 0
+        # _tmp-*.jsonl orphans from a crashed prior run (abort never ran)
+        # would otherwise accumulate forever; anything not owned by THIS
+        # run's commit messages is stale.  Runs in BOTH modes — an
+        # append-mode commit after a crashed prior run must reclaim the
+        # crash's temps too (round-4 advisory + round-5 follow-up).
+        ours = {os.path.basename(m.tmp_file) for m in messages}
+        for f in os.listdir(self.path):
+            if (
+                f.startswith("_tmp-")
+                and f.endswith(".jsonl")
+                and f not in ours
+            ):
+                os.remove(os.path.join(self.path, f))
         if self.overwrite:
             for f in existing:
                 os.remove(os.path.join(self.path, f))
             success = os.path.join(self.path, "_SUCCESS")
             if os.path.exists(success):
                 os.remove(success)
-            # _tmp-*.jsonl orphans from a crashed prior run (abort never
-            # ran) would otherwise accumulate forever; anything not owned
-            # by THIS run's commit messages is stale (round-4 advisory)
-            ours = {os.path.basename(m.tmp_file) for m in messages}
-            for f in os.listdir(self.path):
-                if (
-                    f.startswith("_tmp-")
-                    and f.endswith(".jsonl")
-                    and f not in ours
-                ):
-                    os.remove(os.path.join(self.path, f))
         elif existing:
             start = max(int(f[len("part-") : -len(".jsonl")]) for f in existing) + 1
         total = 0

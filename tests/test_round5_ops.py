@@ -175,9 +175,11 @@ def test_deciles_match_native_ntile_skewed(spark):
 
 
 def test_deciles_plan_no_bare_lang_window_over_data(spark):
-    """The data-side window must be partitioned (lang, n_tokens) —
-    tie-groups only; the per-lang ordered window runs over the histogram
-    census (an aggregate output), mirroring the asof/seq_pack device."""
+    """The data-side window must be partitioned (lang, n_tokens, _sb) —
+    md5-salted tie sub-buckets only; the per-lang ordered window runs
+    over the histogram census (an aggregate output), mirroring the
+    asof/seq_pack device.  Partition keys are the windowspecdefinition
+    prefix before the first ordered (ASC/DESC) key."""
     import re
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
@@ -187,11 +189,24 @@ def test_deciles_plan_no_bare_lang_window_over_data(spark):
         .executedPlan()
         .toString()
     )
-    keys = re.findall(
-        r"windowspecdefinition\((lang#\d+(?:, n_tokens#\d+L?)?),", plan
-    )
-    assert keys, plan[:2000]
-    assert sorted(k.count("n_tokens") for k in keys) == [0, 1], keys
+    specs = re.findall(r"windowspecdefinition\(([^()]*)", plan)
+
+    def part_cols(s):
+        # prefix before the first ASC/DESC, minus its last token (that
+        # token is the first ORDER key, not a partition key)
+        pre = s.split(" ASC")[0].split(" DESC")[0]
+        return [c.strip() for c in pre.split(",")][:-1]
+
+    part_keys = {tuple(part_cols(s)) for s in specs}
+    assert part_keys, plan[:2000]
+    data_side = [p for p in part_keys if any("_sb#" in c for c in p)]
+    census_side = [p for p in part_keys if not any("_sb#" in c for c in p)]
+    # data window: salted tie groups (lang, n_tokens, _sb)
+    assert data_side and all(len(p) == 3 for p in data_side), part_keys
+    # census window: per-lang over the aggregate, never over raw data
+    assert census_side and all(
+        len(p) == 1 and "lang#" in p[0] for p in census_side
+    ), part_keys
 
 
 # --- pq_encode --------------------------------------------------------------

@@ -144,3 +144,27 @@ def test_span_sink_append_does_not_clobber(spark, tmp_path):
     assert sorted((r["span_id"], r["tag"]) for r in rows) == sorted(
         (i, t) for t in ("a", "b") for i in range(3)
     )
+
+
+def test_span_sink_append_reclaims_crashed_run_orphans(spark, tmp_path):
+    """A _tmp-*.jsonl stranded by a crashed prior run (abort never ran)
+    must be swept by the NEXT commit in append mode too, not only in
+    overwrite mode (round-5 advisory)."""
+    import os
+
+    from tei_chunker_spark.sources.tei_source import SpanSinkDataSource
+
+    spark.dataSource.register(SpanSinkDataSource)
+    out = str(tmp_path / "span_sink_orphan")
+    os.makedirs(out)
+    orphan = os.path.join(out, "_tmp-deadbeef.jsonl")
+    with open(orphan, "w") as fh:
+        fh.write('{"span_id": 999}\n')
+
+    df = spark.createDataFrame(
+        [(i, "x") for i in range(3)], "span_id long, tag string"
+    ).coalesce(1)
+    df.write.format("span_sink").option("path", out).mode("append").save()
+    files = sorted(os.listdir(out))
+    assert not [f for f in files if f.startswith("_tmp-")], files
+    assert "part-00000.jsonl" in files
