@@ -10,14 +10,25 @@ Stages (each is an already-oracled operator; this driver only wires
 them):
 
 1. exact dedup — keep the min-id copy of each byte-identical text
-   (dedup.exact_dedup's grouping, applied as a semi-join);
+   (dedup.exact_dedup's grouping, applied as a semi-join); the same
+   aggregate also yields the census "input" count, so no separate
+   full-corpus count() action runs;
 2. quality floor — textstats.doc_quality composite >= --quality-min
    (NULL-scored degenerate docs fail);
 3. decontamination — corpusops.contamination_stats trigram overlap vs
    the --eval set <= --contamination-max;
-4. sequence packing — corpusops.seq_pack offsets over the survivors;
+4. sequence packing — dispatched on the doc_id column type:
+   integral ids use corpusops.seq_pack (doc_id-range buckets);
+   anything else uses corpusops.seq_pack_by_hash — the north-rule
+   input table has ``doc_id: string``, and seq_pack's
+   ``doc_id div 64`` bucketing would cast a non-numeric string to
+   NULL, collapsing EVERY document into one window task (round-5
+   verdict item 3);
 5. write survivors + packing columns as parquet, plus a one-row JSON
-   census (the curation_census gate counts) next to it.
+   census next to it — written through the Hadoop FileSystem API so an
+   hdfs:// or s3a:// --output works the same as a local path (a local
+   ``open()`` would crash after the full job has run; round-5 verdict
+   item 4).
 
 Shape at 100 TB: every stage is the operator's documented plan; gate
 survivor id-tables are narrow; the packing output is written partitioned
@@ -29,13 +40,36 @@ from __future__ import annotations
 
 import argparse
 import json
-import os
 
 from pyspark.sql import functions as F
+from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
-from .operators.corpusops import contamination_stats, seq_pack
+from .operators.corpusops import contamination_stats, seq_pack, seq_pack_by_hash
 from .operators.textstats import doc_quality
 from .sources.session import get_spark
+
+_INTEGRAL_TYPES = (ByteType, ShortType, IntegerType, LongType)
+
+
+def write_text_file(spark, path: str, content: str) -> None:
+    """Write a small text file through the JVM Hadoop FileSystem — works
+    for local, hdfs://, s3a://, ... wherever the job's output lands."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def pick_packer(documents):
+    """seq_pack for integral doc_ids, seq_pack_by_hash otherwise (string
+    ids: lexicographic-vs-numeric drift plus the NULL-bucket collapse)."""
+    id_type = documents.schema["doc_id"].dataType
+    return seq_pack if isinstance(id_type, _INTEGRAL_TYPES) else seq_pack_by_hash
 
 
 def curate(
@@ -48,15 +82,22 @@ def curate(
 ):
     """Run the funnel; returns (packed_survivors_df, census_dict).
 
-    The census counts are collected from the narrow id-tables (four
-    scalar aggregates), mirroring corpusops.curation_census."""
-    n_input = documents.count()
-    keep1 = (
+    The census counts come from the narrow gate tables (scalar
+    aggregates); the "input" count rides the dedup aggregate instead of
+    a dedicated corpus scan."""
+    k1 = (
         documents.groupBy(F.md5("text").alias("_h"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("_n"),
+        )
         .localCheckpoint(eager=True)
     )
+    c1 = k1.agg(
+        F.coalesce(F.sum("_n"), F.lit(0)).alias("n_input"),
+        F.count(F.lit(1)).alias("n_kept"),
+    ).first()
+    keep1 = k1.select("doc_id")
     g1 = documents.join(keep1, "doc_id", "left_semi")
     keep2 = (
         doc_quality(g1)
@@ -74,10 +115,13 @@ def curate(
         .localCheckpoint(eager=True)
     )
     g3 = g2.join(keep3, "doc_id", "left_semi")
-    packed = g3.join(seq_pack(g3, budget=budget), "doc_id")
+    pack_cols = pick_packer(documents)(g3, budget=budget)
+    if "bucket" in pack_cols.columns:  # seq_pack_by_hash's internal bucket
+        pack_cols = pack_cols.drop("bucket")
+    packed = g3.join(pack_cols, "doc_id")
     census = {
-        "input": n_input,
-        "after_exact_dedup": keep1.count(),
+        "input": int(c1["n_input"]),
+        "after_exact_dedup": int(c1["n_kept"]),
         "after_quality": keep2.count(),
         "after_decontamination": keep3.count(),
     }
@@ -108,8 +152,9 @@ def main(argv=None) -> None:
     packed.withColumn(
         "pack_bucket", F.expr("first_pack div 1024")
     ).write.mode("overwrite").partitionBy("pack_bucket").parquet(args.output)
-    with open(os.path.join(args.output, "_census.json"), "w") as fh:
-        fh.write(json.dumps(census))
+    write_text_file(
+        spark, args.output.rstrip("/") + "/_census.json", json.dumps(census)
+    )
     print(f"census: {census}")
     print(f"done: {args.output}")
 

@@ -133,3 +133,61 @@ def test_budget_sample_null_source_kept(spark):
     assert None in rows and rows[None].n_docs == 5
     assert rows[None].budget == 4 and rows[None].n_kept >= 1
     assert rows["web"].n_docs == 5
+
+
+# --- curate CLI: string ids + cluster-safe census ----------------------------
+
+
+def test_curate_string_ids_dispatch_and_contiguous_offsets(spark):
+    """The north-rule input table has doc_id: string — curate must route
+    packing through seq_pack_by_hash (seq_pack's `doc_id div 64` casts a
+    non-numeric string to NULL, collapsing every doc into ONE window
+    task).  Offsets must still tile the token stream contiguously, and
+    the hash bucketing must actually produce multiple buckets."""
+    from tei_chunker_spark.curate import curate, pick_packer
+    from tei_chunker_spark.operators.corpusops import (
+        seq_pack,
+        seq_pack_by_hash,
+    )
+
+    rows = [
+        (f"doc-é{i}-x", "web", "tok " * (i % 9 + 3)) for i in range(80)
+    ] + [("zzz-unicode-中文", "web", "a b c")]
+    docs = spark.createDataFrame(
+        rows, "doc_id string, source string, text string"
+    ).withColumn("lang", F.lit("en"))
+    assert pick_packer(docs) is seq_pack_by_hash
+    ints = spark.createDataFrame([(1, "t")], "doc_id long, text string")
+    assert pick_packer(ints) is seq_pack
+
+    packed, census = curate(spark, docs, docs.limit(0), quality_min=-1.0)
+    assert census["input"] == 81
+    got = sorted(packed.collect(), key=lambda r: r.start_offset)
+    assert len(got) == census["after_decontamination"] > 0
+    off = 0
+    for r in got:
+        assert r.start_offset == off, (r.doc_id, r.start_offset, off)
+        off += r.n_tokens
+    # the hash packer really multi-buckets this corpus (no NULL collapse)
+    n_buckets = (
+        seq_pack_by_hash(docs).select("bucket").distinct().count()
+    )
+    assert n_buckets > 1
+
+
+def test_curate_census_written_via_hadoop_fs(spark, tmp_path):
+    """--output as a file: URI (any Hadoop-supported scheme) — the census
+    must land through the FileSystem API; a local open() on a URI path
+    would raise ENOENT after the whole job had already run."""
+    import json
+    import os
+
+    from tei_chunker_spark.curate import main
+
+    out_dir = str(tmp_path / "curated_uri")
+    src = f"{SF}/documents.parquet"
+    main(["--input", src, "--eval", src, "--output", f"file:{out_dir}"])
+    with open(os.path.join(out_dir, "_census.json")) as fh:
+        c = json.load(fh)
+    assert c["after_decontamination"] == 0  # eval == train: all removed
+    assert c["input"] > 0
