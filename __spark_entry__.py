@@ -300,6 +300,8 @@ _WINDOW_FIRST = [
     "revenue_grouping_sets",
     "doc_length_deciles",
     # round-6 additions (never recorded) slot here, before the fillers
+    "bpe_train_steps",
+    "bpe_segment_census",
     # load-bearing long-green fillers (window positions up to 50)
     "extract_spans_pipeline",
     "extract_doc_metrics",
@@ -643,6 +645,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["bpe_pairs"] = lambda spark, sf: corpusops.bpe_merge_candidates(
         load(spark, sf, "documents"), k=20
+    )
+    q["bpe_train_steps"] = lambda spark, sf: corpusops.bpe_train(
+        load(spark, sf, "documents"), n_merges=8
+    )
+    q["bpe_segment_census"] = lambda spark, sf: corpusops.bpe_segment_census(
+        load(spark, sf, "documents"), n_merges=8
     )
     q["merge_upsert"] = lambda spark, sf: relational.merge_upsert(
         load(spark, sf, "documents").select("doc_id", "text", "source"),
@@ -1968,6 +1976,97 @@ select cast(row_number() over (order by n_occurrences desc, pair asc) as bigint)
        pair, n_occurrences
 from top
 """
+
+    # bpe_train_steps: the iterated Sennrich loop UNROLLED — step i's
+    # pair census runs over the vocabulary AFTER step i-1's merge (the
+    # same device as the k-means/PQ unrolled-iteration oracles).  Same
+    # delimited-symbol-string representation as corpusops.bpe_train;
+    # replace() is left-to-right non-overlapping in both engines, which
+    # IS the greedy BPE merge application.  CTEs are materialized so the
+    # chained w0..wN vocab states evaluate once each.
+    _bpe_steps = 8
+
+    def _bpe_ctes(steps: int, final_vocab: bool) -> list[str]:
+        """CTE chain w0..wN of vocab states + per-step winning pair
+        t1..tN; ``final_vocab`` also emits the post-merge wN that
+        bpe_segment_census reads back (bpe_train_steps never does)."""
+        parts = [
+            f"""w0 as materialized (
+    select w as word,
+           regexp_replace(w, '(.)', chr(1) || '\\1' || chr(2), 'g') as enc,
+           cast(count(*) as bigint) as freq
+    from (select unnest({_TOKENS}) as w from documents) u
+    where length(w) > 0
+      and not regexp_matches(w, '[' || chr(1) || chr(2) || ']')
+    group by w)"""
+        ]
+        for i in range(1, steps + 1):
+            p = i - 1
+            parts.append(
+                f"""p{i} as (
+    select l, r, cast(sum(freq) as bigint) as cnt from (
+        select freq, arr[i] as l, arr[i + 1] as r
+        from (select freq, string_split(substr(enc, 2, length(enc) - 2),
+                                        chr(2) || chr(1)) as arr
+              from w{p}) a,
+             unnest(generate_series(1, cast(len(arr) - 1 as int))) g(i)
+        where len(arr) > 1)
+    group by l, r)"""
+            )
+            parts.append(
+                f"t{i} as materialized (select l, r, cnt from p{i} "
+                f"order by cnt desc, l asc, r asc limit 1)"
+            )
+            if i < steps or final_vocab:
+                parts.append(
+                    f"""w{i} as materialized (
+    select word,
+           replace(enc,
+                   chr(1) || (select l from t{i}) || chr(2) ||
+                   chr(1) || (select r from t{i}) || chr(2),
+                   chr(1) || (select l from t{i}) ||
+                   (select r from t{i}) || chr(2)) as enc,
+           freq
+    from w{p})"""
+                )
+        return parts
+
+    o["bpe_train_steps"] = (
+        "with "
+        + ",\n".join(_bpe_ctes(_bpe_steps, final_vocab=False))
+        + "\n"
+        + "\nunion all\n".join(
+            f'select cast({_i} as bigint) as step, l as "left", '
+            f'r as "right", l || r as merged, cnt as n_occurrences '
+            f"from t{_i}"
+            for _i in range(1, _bpe_steps + 1)
+        )
+    )
+
+    # bpe_segment_census: the trained segmentation applied back to the
+    # corpus — per-word symbol counts from the FINAL vocab state, joined
+    # to per-(doc, word) counts.
+    o["bpe_segment_census"] = (
+        "with "
+        + ",\n".join(_bpe_ctes(_bpe_steps, final_vocab=True))
+        + f""",
+wf as (
+    select word,
+           cast(len(string_split(substr(enc, 2, length(enc) - 2),
+                                 chr(2) || chr(1))) as bigint) as n_syms
+    from w{_bpe_steps}),
+dw as (
+    select doc_id, w as word, cast(count(*) as bigint) as c
+    from (select doc_id, unnest({_TOKENS}) as w from documents) u
+    where length(w) > 0
+      and not regexp_matches(w, '[' || chr(1) || chr(2) || ']')
+    group by doc_id, w)
+select doc_id, cast(sum(c) as bigint) as n_words,
+       cast(sum(c * n_syms) as bigint) as n_bpe_tokens
+from dw join wf using (word)
+group by doc_id
+"""
+    )
 
     o["merge_upsert"] = """
 with ch as (

@@ -3,12 +3,20 @@ __spark_entry__.queries() entry on Spark and its oracle_sql() on DuckDB at
 sf0.01; compare row count, column set, and values (order-insensitive).
 
 Run: python scripts/check_oracles.py [query ...]
+
+A machine-readable artifact of the run is written as JSON so each
+round's full-registry oracle evidence is committed in-repo (merged per
+scale point under the sf-dir basename key).  Path: $TEI_ORACLES_OUT,
+defaulting to ORACLES_latest.json for full-suite runs; subset runs
+write no artifact unless TEI_ORACLES_OUT is set explicitly.
 """
 from __future__ import annotations
 
+import json
 import math
 import os
 import sys
+import time
 
 import duckdb
 import pandas as pd
@@ -41,6 +49,7 @@ def main() -> None:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    results: dict[str, dict] = {}
     for name, fn in queries.items():
         if only and name not in only:
             continue
@@ -48,15 +57,18 @@ def main() -> None:
             sdf = fn(spark, SF_DIR).toPandas()
         except Exception as e:
             failures.append(name)
+            results[name] = {"pass": False, "err": f"spark: {type(e).__name__}"}
             print(f"[SPARK ERROR] {name}: {type(e).__name__}: {str(e)[:400]}")
             continue
         if name not in oracles:
+            results[name] = {"pass": True, "rows_only": True, "spark_rows": len(sdf)}
             print(f"[rows-only ] {name}: {len(sdf)} rows, cols={list(sdf.columns)}")
             continue
         try:
             odf = con.sql(oracles[name]).df()
         except Exception as e:
             failures.append(name)
+            results[name] = {"pass": False, "err": f"oracle: {type(e).__name__}"}
             print(f"[ORACLE ERR] {name}: {type(e).__name__}: {str(e)[:400]}")
             continue
         status = []
@@ -79,10 +91,47 @@ def main() -> None:
                     print(f"  {c}: spark={a[c][mask].head(3).tolist()} duck={b[c][mask].head(3).tolist()}")
         if status:
             failures.append(name)
+            results[name] = {
+                "pass": False,
+                "spark_rows": len(sdf),
+                "oracle_rows": len(odf),
+                "err": "; ".join(status),
+            }
             print(f"[MISMATCH  ] {name}: {'; '.join(status)}")
         else:
+            results[name] = {
+                "pass": True,
+                "spark_rows": len(sdf),
+                "oracle_rows": len(odf),
+            }
             print(f"[OK        ] {name}: {len(sdf)} rows")
     print()
+
+    out_path = os.environ.get("TEI_ORACLES_OUT") or (
+        None if only else "/root/repo/ORACLES_latest.json"
+    )
+    if out_path:
+        artifact = {}
+        if os.path.exists(out_path):
+            try:
+                with open(out_path) as fh:
+                    artifact = json.load(fh)
+            except (OSError, ValueError):
+                artifact = {}
+        sf_label = os.path.basename(SF_DIR.rstrip("/"))
+        prior = artifact.get(sf_label, {}).get("results", {})
+        prior.update(results)
+        artifact[sf_label] = {
+            "ts": int(time.time()),
+            "n_registry": len(queries),
+            "n_checked": len(prior),
+            "n_failed": sum(1 for r in prior.values() if not r.get("pass")),
+            "results": prior,
+        }
+        with open(out_path, "w") as fh:
+            json.dump(artifact, fh, indent=1, sort_keys=True)
+        print(f"artifact: {out_path} [{sf_label}]")
+
     if failures:
         print("FAILED:", failures)
         sys.exit(1)

@@ -854,3 +854,149 @@ def budget_sample_census(
             "tokens_kept"
         ),
     )
+
+
+def bpe_train(documents: DataFrame, n_merges: int = 8) -> DataFrame:
+    """Iterated BPE training: run ``n_merges`` byte-pair-encoding merge
+    steps over the corpus vocabulary and return the learned merge table
+    — one row per step, ``(step, left, right, merged, n_occurrences)``
+    with ties broken (count desc, left asc, right asc).  This completes
+    bpe_merge_candidates (which ranks only the FIRST merge): each step
+    re-counts adjacent-symbol pairs over the CURRENT segmentation, so
+    step 2 can pick a pair involving step 1's merged symbol — the actual
+    Sennrich training loop, not one static census.
+
+    Mechanics: the vocabulary is held as a delimited symbol string per
+    word (\\x01sym\\x02\\x01sym\\x02...), initially one symbol per
+    character.  Applying a merge is a single non-overlapping
+    left-to-right ``replace`` of \\x01L\\x02\\x01R\\x02 with
+    \\x01LR\\x02 — exactly the greedy scan BPE applies — and pair
+    counting splits the string back into the symbol array.  Words
+    containing the delimiter bytes themselves are excluded up front
+    (control chars are not vocabulary in any real corpus).
+
+    Shape at 100 TB: the corpus is touched ONCE (the distinct-word
+    hash agg; Heaps' law makes the vocab orders of magnitude smaller
+    than the token stream).  Each merge step is then vocab-sized: one
+    hash agg on the pair key + one narrow map applying the replace, with
+    the vocab localCheckpoint'd per step so lineage stays flat.  The
+    only driver read per step is the ONE winning (left, right, count)
+    row — the same sanctioned k-row pattern as the k-means/PQ trainers
+    (kmeans.py).  The merge loop never rescans documents."""
+    merges, _ = _bpe_train_states(documents, n_merges)
+    return merges
+
+
+def _bpe_train_states(documents: DataFrame, n_merges: int):
+    """Shared trainer core: returns (merges_df, final_vocab_df) where
+    final_vocab_df is (word, enc, freq) with ``enc`` the delimited
+    symbol string AFTER all merges — the trained segmentation that
+    bpe_segment_census applies back to the corpus."""
+    n_merges = int(n_merges)
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    L, R = "\x01", "\x02"
+    vocab = (
+        documents.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .filter(F.length("word") > 0)
+        .filter(~F.col("word").rlike(f"[{L}{R}]"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("enc", F.regexp_replace("word", "(.)", f"{L}$1{R}"))
+        .select("word", "enc", "freq")
+        .localCheckpoint(eager=True)
+    )
+    # symbol array back out of the delimited string; Spark's
+    # sequence(1, 0) DESCENDS ([1, 0]) where DuckDB's generate_series is
+    # empty — the repo's standing cross-engine trap, hence the size guard
+    pair_expr = F.expr(
+        "case when size(_arr) > 1 then "
+        "transform(sequence(1, size(_arr) - 1), "
+        "i -> struct(element_at(_arr, i) as l, element_at(_arr, i + 1) as r)) "
+        "else array() end"
+    )
+    merges: list[tuple] = []
+    spark = documents.sparkSession
+    for step in range(1, n_merges + 1):
+        top = (
+            vocab.withColumn(
+                "_arr",
+                F.split(
+                    F.expr("substring(enc, 2, length(enc) - 2)"), f"{R}{L}"
+                ),
+            )
+            .select("freq", F.explode(pair_expr).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:  # vocabulary fully merged before n_merges steps
+            break
+        l, r, cnt = top[0]["l"], top[0]["r"], top[0]["cnt"]
+        merges.append((step, l, r, l + r, cnt))
+        pattern, repl = f"{L}{l}{R}{L}{r}{R}", f"{L}{l}{r}{R}"
+        vocab = vocab.withColumn(
+            "enc",
+            F.when(
+                F.col("enc").contains(pattern),
+                F.replace("enc", F.lit(pattern), F.lit(repl)),
+            ).otherwise(F.col("enc")),
+        ).localCheckpoint(eager=True)
+    merges_df = spark.createDataFrame(
+        merges,
+        "step long, left string, right string, merged string, "
+        "n_occurrences long",
+    )
+    return merges_df, vocab
+
+
+def bpe_segment_census(documents: DataFrame, n_merges: int = 8) -> DataFrame:
+    """Apply the trained BPE segmentation back to the corpus: per
+    document, whitespace-word count and total BPE-token count under the
+    ``n_merges``-step merge table bpe_train learns from the same corpus
+    — the number a training pipeline actually budgets on (packing,
+    mixture weights, truncation are all in BPE tokens, not words).
+    Output: (doc_id, n_words, n_bpe_tokens); the vocabulary domain is
+    bpe_train's (blank and delimiter-byte words excluded).
+
+    Shape at 100 TB: training already left the TRAINED segmentation on
+    the vocab table — per word, n_syms is a narrow map (split + size),
+    no corpus pass.  The corpus is then touched once: explode to
+    (doc_id, word), hash-agg to per-(doc, word) counts (collapses Zipf
+    duplicates within a doc), equi-join the word-unique vocab, hash-agg
+    per doc.  The join key is Zipf-skewed across docs ("the" appears in
+    every document) — AQE skew-join splits the hot words at runtime;
+    when the vocab fits (it usually does — Heaps' law), broadcasting it
+    removes the shuffle entirely; past that, the classic hybrid
+    (broadcast the high-freq head, shuffle the tail) applies."""
+    _, vocab = _bpe_train_states(documents, n_merges)
+    L, R = "\x01", "\x02"
+    n_syms = vocab.select(
+        "word",
+        F.size(
+            F.split(F.expr("substring(enc, 2, length(enc) - 2)"), f"{R}{L}")
+        )
+        .cast("long")
+        .alias("_n_syms"),
+    )
+    doc_words = (
+        documents.select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("word")
+        )
+        .filter(F.length("word") > 0)
+        .filter(~F.col("word").rlike(f"[{L}{R}]"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    return (
+        doc_words.join(n_syms, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("_c").cast("long").alias("n_words"),
+            F.sum(F.col("_c") * F.col("_n_syms")).cast("long").alias(
+                "n_bpe_tokens"
+            ),
+        )
+    )

@@ -191,3 +191,53 @@ def test_curate_census_written_via_hadoop_fs(spark, tmp_path):
         c = json.load(fh)
     assert c["after_decontamination"] == 0  # eval == train: all removed
     assert c["input"] > 0
+
+
+# --- bpe_train ---------------------------------------------------------------
+
+
+def test_bpe_train_iterates_merges_over_merged_symbols(spark):
+    """Step 2 must count pairs over the POST-step-1 segmentation: with
+    'the' dominant, step 1 merges (h,e) [tie with (t,h) broken
+    alphabetically] and step 2 merges (t,he) — a pair that only exists
+    after step 1.  Counts are overlap-inclusive adjacent pairs weighted
+    by word frequency."""
+    from tei_chunker_spark.operators.corpusops import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "the theme thesis"), (2, "the the band"), (3, "x")],
+        "doc_id long, text string",
+    )
+    got = [tuple(r) for r in bpe_train(docs, n_merges=2).collect()]
+    assert got == [(1, "h", "e", "he", 5), (2, "t", "he", "the", 5)]
+
+
+def test_bpe_train_greedy_overlap_and_exhaustion(spark):
+    """'aaa' counts the overlapping (a,a) twice but merges greedily
+    left-to-right to [aa, a]; once every word is one symbol the loop
+    stops early instead of erroring."""
+    from tei_chunker_spark.operators.corpusops import bpe_train
+
+    docs = spark.createDataFrame([(1, "aaa aaa")], "doc_id long, text string")
+    got = [tuple(r) for r in bpe_train(docs, n_merges=10).collect()]
+    # step 1: (a,a) x2 overlap x freq 2 = 4 -> 'aa'; vocab ['aa','a']
+    # step 2: (aa,a) x freq 2 = 2 -> 'aaa'; then no pairs remain
+    assert got == [(1, "a", "a", "aa", 4), (2, "aa", "a", "aaa", 2)]
+
+
+def test_bpe_segment_census_applies_trained_merges(spark):
+    """With merges (h,e) then (t,he) trained from this corpus, 'the'
+    segments to 1 symbol and 'theme' to [the, m, e] = 3; per-doc BPE
+    token counts must reflect the final segmentation."""
+    from tei_chunker_spark.operators.corpusops import bpe_segment_census
+
+    docs = spark.createDataFrame(
+        [(1, "the theme thesis"), (2, "the the band"), (3, "x")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in bpe_segment_census(docs, n_merges=2).collect()}
+    # doc 1: the=1, theme=[the,m,e]=3, thesis=[the,s,i,s]=4 -> 8
+    assert got[1].n_words == 3 and got[1].n_bpe_tokens == 8
+    # doc 2: the=1, the=1, band=4 -> 6
+    assert got[2].n_words == 3 and got[2].n_bpe_tokens == 6
+    assert got[3].n_words == 1 and got[3].n_bpe_tokens == 1
