@@ -1472,9 +1472,9 @@ limit 10
 
     o["pricing_summary"] = """
 select l_returnflag, l_linestatus,
-       round(cast(sum(cast(l_quantity as decimal(25,10))) as double), 2) as sum_qty,
-       round(cast(sum(cast(l_extendedprice as decimal(25,10))) as double), 2) as sum_base_price,
-       round(cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(25,10))) as double), 2) as sum_disc_price,
+       round(sum(cast(floor(l_quantity * 100 + 0.5) as bigint)) / 100.0, 2) as sum_qty,
+       round(sum(cast(floor(l_extendedprice * 100 + 0.5) as bigint)) / 100.0, 2) as sum_base_price,
+       round(sum(cast(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) as bigint)) / 100.0, 2) as sum_disc_price,
        round(avg(l_quantity), 4) as avg_qty,
        round(avg(l_discount), 4) as avg_disc,
        count(*) as count_order
@@ -1552,7 +1552,7 @@ from part group by p_type
 
     o["revenue_by_nation"] = """
 select n_name,
-       round(cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(25,10))) as double), 2) as revenue,
+       round(sum(cast(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) as bigint)) / 100.0, 2) as revenue,
        count(*) as n_items
 from lineitem
 join orders on l_orderkey = o_orderkey
