@@ -33,6 +33,7 @@ from tei_chunker_spark.operators import (
     multimodal,
     quantize,
     relational,
+    retrieval,
     similarity,
     textstats,
     udtfs,
@@ -128,6 +129,53 @@ def _docs_with_case_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return d.select("doc_id", "text").unionByName(v)
+
+
+def _incremental_split(spark: SparkSession, sf_dir: str):
+    """(base, new) pair for incremental dedup: base = doc_id % 3 != 0;
+    the new batch = the % 3 == 0 docs plus exact copies of base docs
+    (% 15 == 1), case/punct variants of base docs (% 15 == 2),
+    within-batch exact copies (% 15 == 0), and within-batch case/punct
+    variants (% 15 == 3) — one deterministic specimen per funnel gate."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    upper_variant = F.concat(
+        F.lit("*** "),
+        F.translate(
+            F.col("text"),
+            "abcdefghijklmnopqrstuvwxyz",
+            "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+        ),
+        F.lit(" !!!"),
+    )
+    base = d.filter(F.col("doc_id") % 3 != 0)
+    new = (
+        d.filter(F.col("doc_id") % 3 == 0)
+        .unionByName(
+            d.filter(F.col("doc_id") % 15 == 1).select(
+                (F.col("doc_id") + 500000).alias("doc_id"), "text", "source"
+            )
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 15 == 2).select(
+                (F.col("doc_id") + 600000).alias("doc_id"),
+                upper_variant.alias("text"),
+                "source",
+            )
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 15 == 0).select(
+                (F.col("doc_id") + 700000).alias("doc_id"), "text", "source"
+            )
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 15 == 3).select(
+                (F.col("doc_id") + 800000).alias("doc_id"),
+                upper_variant.alias("text"),
+                "source",
+            )
+        )
+    )
+    return base, new
 
 
 def _snapshot_new(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -302,6 +350,9 @@ _WINDOW_FIRST = [
     # round-6 additions (never recorded) slot here, before the fillers
     "bpe_train_steps",
     "bpe_segment_census",
+    "dedup_substring",
+    "dedup_incremental",
+    "bm25_topk",
     # load-bearing long-green fillers (window positions up to 50)
     "extract_spans_pipeline",
     "extract_doc_metrics",
@@ -408,6 +459,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_canonical"] = lambda spark, sf: dedup.canonical_assignment(
         _docs_with_near_dups(spark, sf),
         dedup.minhash_lsh_pairs(_docs_with_near_dups(spark, sf), n=2, threshold=0.5),
+    )
+    q["dedup_substring"] = lambda spark, sf: dedup.substring_dup_spans(
+        _docs_with_near_dups(spark, sf), k=8
+    )
+    q["dedup_incremental"] = lambda spark, sf: dedup.incremental_dedup_census(
+        *_incremental_split(spark, sf)
+    )
+    q["bm25_topk"] = lambda spark, sf: retrieval.bm25_topk(
+        load(spark, sf, "documents"), "hash join vector", k=15
     )
     q["pii_scrub"] = lambda spark, sf: _cast_long(
         textstats.pii_scrub(_docs_with_pii(spark, sf)),
@@ -1879,6 +1939,157 @@ select md5({_norm}) as norm_md5,
        cast(count(*) as bigint) as group_size,
        min(doc_id) as canonical_doc_id
 from docs_aug group by norm_md5
+"""
+
+    # substring-level dup census (k = 8 token windows): the oracle
+    # re-derives the gaps-and-islands merge with DuckDB's own window
+    # frames — identical ROWS BETWEEN semantics on both engines, and the
+    # md5 window-hash domain is the same engine-portable one as LSH.
+    o["dedup_substring"] = f"""
+with docs_aug as ({_NEAR_AUG_SQL}),
+t as (
+    select doc_id, {_TOKENS} as toks,
+           cast(case when regexp_matches(text, '^[ \t\n\x0b\f\r]*$') then 0
+                     else len({_TOKENS}) end as bigint) as n_tokens
+    from docs_aug
+),
+w as (
+    select doc_id, i as start, md5(array_to_string(toks[i : i + 7], ' ')) as w_hash
+    from t, unnest(generate_series(1, cast(n_tokens - 7 as int))) as g(i)
+),
+dh as (select w_hash from w group by w_hash having count(*) >= 2),
+d2 as (select w.doc_id, w.start from w join dh using (w_hash)),
+m as (
+    select doc_id, start,
+           max(start + 7) over (partition by doc_id order by start
+               rows between unbounded preceding and 1 preceding) as prev_end
+    from d2
+),
+i as (
+    select doc_id, start,
+           sum(case when prev_end is null or start > prev_end + 1 then 1 else 0 end)
+               over (partition by doc_id order by start
+                     rows between unbounded preceding and current row) as island
+    from m
+),
+sp as (
+    select doc_id, island, min(start) as s, max(start) + 7 as e,
+           count(*) as nw
+    from i group by doc_id, island
+),
+pd as (
+    select doc_id, cast(count(*) as bigint) as n_dup_spans,
+           cast(sum(e - s + 1) as bigint) as dup_tokens,
+           cast(sum(nw) as bigint) as n_dup_windows
+    from sp group by doc_id
+)
+select t.doc_id, t.n_tokens,
+       cast(coalesce(pd.n_dup_windows, 0) as bigint) as n_dup_windows,
+       cast(coalesce(pd.n_dup_spans, 0) as bigint) as n_dup_spans,
+       cast(coalesce(pd.dup_tokens, 0) as bigint) as dup_tokens,
+       case when t.n_tokens > 0
+            then round(coalesce(pd.dup_tokens, 0) / cast(t.n_tokens as double), 6)
+       end as dup_fraction
+from t left join pd using (doc_id)
+"""
+
+    # incremental-ingest dedup funnel; the base/new split and variant
+    # constructions mirror _incremental_split 1:1.
+    o["dedup_incremental"] = f"""
+with base as (select doc_id, text, source from documents where doc_id % 3 != 0),
+newb as (
+    select doc_id, text, source from documents where doc_id % 3 = 0
+    union all
+    select doc_id + 500000, text, source from documents where doc_id % 15 = 1
+    union all
+    select doc_id + 600000,
+           '*** ' || translate(text, 'abcdefghijklmnopqrstuvwxyz',
+                               'ABCDEFGHIJKLMNOPQRSTUVWXYZ') || ' !!!',
+           source
+    from documents where doc_id % 15 = 2
+    union all
+    select doc_id + 700000, text, source from documents where doc_id % 15 = 0
+    union all
+    select doc_id + 800000,
+           '*** ' || translate(text, 'abcdefghijklmnopqrstuvwxyz',
+                               'ABCDEFGHIJKLMNOPQRSTUVWXYZ') || ' !!!',
+           source
+    from documents where doc_id % 15 = 3
+),
+be as (select distinct md5(text) as h from base),
+bn as (select distinct md5({_norm}) as nh from base),
+n as (select doc_id, source, md5(text) as h, md5({_norm}) as nh from newb),
+mh as (select h, min(doc_id) as min_id_h from n group by h),
+mn as (select nh, min(doc_id) as min_id_nh from n group by nh),
+j as (
+    select n.source,
+           case when be.h is not null then 'exact_vs_base'
+                when n.doc_id > mh.min_id_h then 'exact_in_batch'
+                when bn.nh is not null then 'norm_vs_base'
+                when n.doc_id > mn.min_id_nh then 'norm_in_batch'
+                else 'kept' end as gate
+    from n
+    left join be on n.h = be.h
+    left join bn on n.nh = bn.nh
+    join mh on n.h = mh.h
+    join mn on n.nh = mn.nh
+)
+select source,
+       cast(count(*) as bigint) as n_new,
+       cast(sum(case when gate = 'exact_vs_base' then 1 else 0 end) as bigint) as n_exact_vs_base,
+       cast(sum(case when gate = 'exact_in_batch' then 1 else 0 end) as bigint) as n_exact_in_batch,
+       cast(sum(case when gate = 'norm_vs_base' then 1 else 0 end) as bigint) as n_norm_vs_base,
+       cast(sum(case when gate = 'norm_in_batch' then 1 else 0 end) as bigint) as n_norm_in_batch,
+       cast(sum(case when gate = 'kept' then 1 else 0 end) as bigint) as n_kept
+from j group by source
+"""
+
+    # exact-integer rational-idf BM25 (operators/retrieval.py docstring):
+    # every product stays in hugeint and the integral quotient (`//` here,
+    # decimal(38,0) `div` Spark-side) is the rank key, so the top-k is
+    # bit-for-bit across engines.
+    o["bm25_topk"] = f"""
+with t as (
+    select doc_id, {_TOKENS} as toks,
+           cast(case when regexp_matches(text, '^[ \t\n\x0b\f\r]*$') then 0
+                     else len({_TOKENS}) end as hugeint) as dl
+    from documents
+),
+g as (
+    select cast(count(*) as hugeint) as n_docs,
+           cast(sum(dl) as hugeint) as total_tokens
+    from t
+),
+tf as (
+    select doc_id, term, cast(count(*) as hugeint) as tf
+    from (select doc_id, unnest(toks) as term from t) u
+    where term in ('hash', 'join', 'vector')
+    group by doc_id, term
+),
+dfx as (select term, cast(count(*) as hugeint) as df from tf group by term),
+s as (
+    select tf.doc_id,
+           ((2 * g.n_docs - 2 * dfx.df + 1) * 22000000::hugeint * tf.tf
+            * 1000000::hugeint)
+           // ((2 * dfx.df + 1)
+               * (10000000::hugeint * tf.tf + 3000000::hugeint
+                  + 9::hugeint * ((1000000::hugeint * t2.dl * g.n_docs)
+                                  // g.total_tokens))) as w
+    from tf
+    join dfx using (term)
+    join t t2 using (doc_id)
+    cross join g
+),
+pd as (
+    select doc_id, cast(count(*) as bigint) as n_terms_matched,
+           cast(sum(w) as bigint) as score_micro
+    from s group by doc_id
+)
+select doc_id, n_terms_matched, score_micro,
+       round(score_micro / 1000000.0, 6) as bm25
+from pd
+order by score_micro desc, doc_id asc
+limit 15
 """
 
     o["snapshot_diff"] = """

@@ -735,3 +735,182 @@ def dedup_normalized(documents: DataFrame) -> DataFrame:
             F.min("doc_id").alias("canonical_doc_id"),
         )
     )
+
+
+def substring_dup_spans(documents: DataFrame, k: int = 8) -> DataFrame:
+    """Substring-level duplication census (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): hash every overlapping
+    ``k``-token window, find windows whose corpus-wide occurrence count is
+    >= 2, and merge each document's duplicated windows into maximal
+    duplicated token spans.  Per document: token count, number of
+    duplicated windows, number of merged duplicated spans, total tokens
+    covered by those spans, and the covered fraction — the removal plan a
+    substring-level deduper would execute.
+
+    No counterpart in the reference (a single-doc TEI chunker); this is
+    the substring half of the dedup family next to the doc-level
+    exact/MinHash operators above.
+
+    Shape at 100 TB: the window-posting table is ~n_tokens rows per doc
+    (linear, the same class as boilerplate_stats' segment table, just
+    overlapping); the occurrence count is ONE map-side-partial hash agg on
+    the window hash; the postings->count join fans in linearly (a window
+    shared by B docs costs B join rows, never B^2 pairs).  The
+    gaps-and-islands merge uses windows partitioned by doc_id — a
+    high-cardinality key whose partition size is bounded by document
+    length, so no hot task exists by construction.  Blank / sub-``k``
+    documents produce zero windows and re-enter via the final left join.
+    """
+    # explode(array(...)) barrier: split once per row (see
+    # _tokens_materialized), then n_tokens inlined against the array.
+    t = documents.select(
+        "doc_id", F.explode(F.array(tokens(F.col("text")))).alias("tok")
+    ).select(
+        "doc_id",
+        "tok",
+        F.when(
+            (F.size("tok") == 1) & (F.element_at("tok", 1) == ""), F.lit(0)
+        )
+        .otherwise(F.size("tok"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    # sequence(1, n) DESCENDS in Spark when n < 1 — the when-guard makes
+    # sub-k documents produce an empty array (DuckDB's generate_series is
+    # already empty there).
+    win_hashes = F.transform(
+        F.sequence(F.lit(1), (F.col("n_tokens") - (k - 1)).cast("int")),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("tok"), i, k))),
+    )
+    wins = t.select(
+        "doc_id",
+        F.posexplode(
+            F.when(F.col("n_tokens") >= k, win_hashes).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("pos", "w_hash"),
+    ).select("doc_id", (F.col("pos") + 1).alias("start"), "w_hash")
+    dup_hashes = (
+        wins.groupBy("w_hash")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") >= 2)
+        .select("w_hash")
+    )
+    dup = wins.join(dup_hashes, "w_hash").select("doc_id", "start")
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = (
+        dup.withColumn("prev_end", F.max(F.col("start") + (k - 1)).over(w_prev))
+        .withColumn(
+            "new_island",
+            F.when(
+                F.col("prev_end").isNull()
+                | (F.col("start") > F.col("prev_end") + 1),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("new_island").over(w_run))
+    )
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.min("start").alias("s"),
+        (F.max("start") + (k - 1)).alias("e"),
+        F.count(F.lit(1)).alias("n_wins"),
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("dup_tokens"),
+        F.sum("n_wins").cast("long").alias("n_dup_windows"),
+    )
+    return (
+        t.select("doc_id", "n_tokens")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_windows", F.lit(0).cast("long")).alias(
+                "n_dup_windows"
+            ),
+            F.coalesce("n_dup_spans", F.lit(0).cast("long")).alias("n_dup_spans"),
+            F.coalesce("dup_tokens", F.lit(0).cast("long")).alias("dup_tokens"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(
+                    F.coalesce("dup_tokens", F.lit(0).cast("long"))
+                    / F.col("n_tokens"),
+                    6,
+                ),
+            ).alias("dup_fraction"),
+        )
+    )
+
+
+def incremental_dedup_census(base: DataFrame, new: DataFrame) -> DataFrame:
+    """Incremental-ingest dedup funnel: reconcile a NEW document batch
+    against an already-curated BASE corpus without re-deduping the base.
+    Per source in the new batch: how many docs arrive, how many fall to
+    each gate — byte-exact duplicate of a base doc, byte-exact duplicate
+    within the batch (non-min doc_id of its text group), normalized
+    (case/punct/ws) duplicate of a base doc, normalized duplicate within
+    the batch — and how many survive.  Gates fire in that order; each doc
+    is counted exactly once.
+
+    Shape at 100 TB: the base side is projected to its DISTINCT text /
+    normal-form hashes before any join (one map-side-partial agg each; the
+    base corpus text never shuffles), and the batch joins those hash sets
+    on md5 keys — high-cardinality equi-joins sized by the BATCH, not the
+    corpus.  Within-batch min-ids come from aggregate+join (AQE-splittable)
+    rather than a window over the hash.  This is the IVM counterpart of
+    curation_census: daily work scales with the delta."""
+    base_exact = base.select(F.md5("text").alias("h")).distinct()
+    base_norm = (
+        base.select(F.md5(normalized_text(F.col("text"))).alias("nh")).distinct()
+    )
+    n = new.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("h"),
+        F.md5(normalized_text(F.col("text"))).alias("nh"),
+    )
+    min_h = n.groupBy("h").agg(F.min("doc_id").alias("min_id_h"))
+    min_nh = n.groupBy("nh").agg(F.min("doc_id").alias("min_id_nh"))
+    j = (
+        n.join(base_exact.withColumn("in_base_h", F.lit(1)), "h", "left")
+        .join(base_norm.withColumn("in_base_nh", F.lit(1)), "nh", "left")
+        .join(min_h, "h")
+        .join(min_nh, "nh")
+    )
+    gate = (
+        F.when(F.col("in_base_h").isNotNull(), F.lit("exact_vs_base"))
+        .when(F.col("doc_id") > F.col("min_id_h"), F.lit("exact_in_batch"))
+        .when(F.col("in_base_nh").isNotNull(), F.lit("norm_vs_base"))
+        .when(F.col("doc_id") > F.col("min_id_nh"), F.lit("norm_in_batch"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        j.select("source", gate.alias("gate"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_new"),
+            F.sum((F.col("gate") == "exact_vs_base").cast("long")).alias(
+                "n_exact_vs_base"
+            ),
+            F.sum((F.col("gate") == "exact_in_batch").cast("long")).alias(
+                "n_exact_in_batch"
+            ),
+            F.sum((F.col("gate") == "norm_vs_base").cast("long")).alias(
+                "n_norm_vs_base"
+            ),
+            F.sum((F.col("gate") == "norm_in_batch").cast("long")).alias(
+                "n_norm_in_batch"
+            ),
+            F.sum((F.col("gate") == "kept").cast("long")).alias("n_kept"),
+        )
+    )

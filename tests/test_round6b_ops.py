@@ -1,0 +1,207 @@
+"""Round-6 extension operators: substring-level duplicate spans (Lee et
+al.-style), incremental-ingest dedup census, and exact-integer BM25
+retrieval.  Oracle parity for all three lives in __spark_entry__ (checked
+by scripts/check_oracles.py); these tests pin the hand-computable
+semantics and the scale-relevant plan shapes."""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tei_chunker_spark.operators import dedup, retrieval
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# --- substring_dup_spans ----------------------------------------------------
+
+
+def test_substring_spans_shared_run_merges_windows(spark):
+    """A 6-token run shared by two docs yields 3 duplicated k=4 windows
+    each, merged into ONE span covering exactly the shared tokens."""
+    docs = _docs(
+        spark,
+        [
+            (1, "p1 p2 s1 s2 s3 s4 s5 s6 q1 q2"),
+            (2, "r1 s1 s2 s3 s4 s5 s6 r2"),
+        ],
+    )
+    out = {r.doc_id: r for r in dedup.substring_dup_spans(docs, k=4).collect()}
+    assert out[1].n_tokens == 10
+    assert out[1].n_dup_windows == 3  # starts 3, 4, 5
+    assert out[1].n_dup_spans == 1
+    assert out[1].dup_tokens == 6  # tokens 3..8
+    assert out[1].dup_fraction == 0.6
+    assert out[2].n_dup_spans == 1 and out[2].dup_tokens == 6
+
+
+def test_substring_spans_internal_repetition_two_islands(spark):
+    """A phrase repeated WITHIN one doc (separated by a gap) counts as
+    duplicated (occurrence >= 2 corpus-wide) and yields two islands."""
+    docs = _docs(spark, [(1, "s1 s2 s3 s4 mid s1 s2 s3 s4")])
+    row = dedup.substring_dup_spans(docs, k=4).collect()[0]
+    assert row.n_dup_windows == 2  # starts 1 and 6
+    assert row.n_dup_spans == 2  # gap at token 5 splits the islands
+    assert row.dup_tokens == 8
+
+
+def test_substring_spans_adjacent_islands_merge(spark):
+    """Duplicated windows whose spans touch (end + 1 == next start) merge
+    into one island."""
+    docs = _docs(
+        spark,
+        [
+            (1, "s1 s2 s3 s4 t1 t2 t3 t4"),
+            (2, "s1 s2 s3 s4"),
+            (3, "t1 t2 t3 t4"),
+        ],
+    )
+    out = {r.doc_id: r for r in dedup.substring_dup_spans(docs, k=4).collect()}
+    # doc 1: dup windows at starts 1 and 5; span [1,4] and [5,8] touch
+    assert out[1].n_dup_windows == 2
+    assert out[1].n_dup_spans == 1
+    assert out[1].dup_tokens == 8
+    assert out[1].dup_fraction == 1.0
+
+
+def test_substring_spans_short_and_blank_docs_kept(spark):
+    docs = _docs(spark, [(1, "a b c"), (2, "   "), (3, "x y z w v")])
+    out = {r.doc_id: r for r in dedup.substring_dup_spans(docs, k=4).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].n_tokens == 3 and out[1].n_dup_windows == 0
+    assert out[1].dup_fraction == 0.0
+    assert out[2].n_tokens == 0 and out[2].dup_fraction is None
+    assert out[3].n_dup_windows == 0  # unique 5-token doc, no dups
+
+
+def test_substring_spans_plan_has_no_pairwise_join(spark):
+    """Scale guard: postings join on w_hash (equi-join), never a
+    cartesian/NLJ pair blowup."""
+    docs = _docs(spark, [(1, "a b c d e f g h"), (2, "a b c d e f g h")])
+    plan = (
+        dedup.substring_dup_spans(docs, k=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --- incremental_dedup_census ----------------------------------------------
+
+
+def _src_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_incremental_census_one_doc_per_gate(spark):
+    base = _src_docs(spark, [(1, "alpha beta", "s")])
+    new = _src_docs(
+        spark,
+        [
+            (10, "fresh text", "s"),  # kept
+            (11, "alpha beta", "s"),  # exact_vs_base
+            (12, "fresh text", "s"),  # exact_in_batch (dup of 10)
+            (13, "ALPHA beta!", "s"),  # norm_vs_base
+            (14, "FRESH text!", "s"),  # norm_in_batch (norm-dup of 10)
+        ],
+    )
+    row = dedup.incremental_dedup_census(base, new).collect()[0]
+    assert row.source == "s"
+    assert row.n_new == 5
+    assert row.n_exact_vs_base == 1
+    assert row.n_exact_in_batch == 1
+    assert row.n_norm_vs_base == 1
+    assert row.n_norm_in_batch == 1
+    assert row.n_kept == 1
+
+
+def test_incremental_census_gate_order_base_wins(spark):
+    """A doc that is BOTH a base duplicate and a batch duplicate counts
+    at the first gate (exact_vs_base) — each doc exactly once."""
+    base = _src_docs(spark, [(1, "alpha beta", "s")])
+    new = _src_docs(
+        spark,
+        [(10, "alpha beta", "s"), (11, "alpha beta", "s")],
+    )
+    row = dedup.incremental_dedup_census(base, new).collect()[0]
+    assert row.n_new == 2
+    assert row.n_exact_vs_base == 2  # NOT 1 + exact_in_batch
+    assert row.n_exact_in_batch == 0
+    assert row.n_kept == 0
+
+
+def test_incremental_census_counts_are_a_partition(spark):
+    """Gates partition the batch: per-source counts sum to n_new."""
+    base, new = __import__("__spark_entry__")._incremental_split(
+        spark, "/root/testdata/sf0.001"
+    )
+    for r in dedup.incremental_dedup_census(base, new).collect():
+        assert (
+            r.n_exact_vs_base
+            + r.n_exact_in_batch
+            + r.n_norm_vs_base
+            + r.n_norm_in_batch
+            + r.n_kept
+            == r.n_new
+        )
+
+
+# --- bm25_topk --------------------------------------------------------------
+
+
+def test_bm25_matches_and_ranks_deterministically(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "hash hash hash join vector"),
+            (2, "hash hash hash hash hash"),
+            (3, "filler filler filler"),
+            (4, "hash join vector"),
+        ],
+    )
+    rows = retrieval.bm25_topk(docs, "hash join vector", k=10).collect()
+    by_id = {r.doc_id: r for r in rows}
+    assert set(by_id) == {1, 2, 4}  # doc 3 has no query term
+    assert by_id[1].n_terms_matched == 3
+    assert by_id[2].n_terms_matched == 1
+    assert by_id[4].n_terms_matched == 3
+    # three matched terms with repeats beats one saturating term
+    assert by_id[1].score_micro > by_id[2].score_micro
+    # output is ordered by the exact integer key desc, doc_id asc
+    keys = [(-r.score_micro, r.doc_id) for r in rows]
+    assert keys == sorted(keys)
+    # display double is the scaled integer
+    for r in rows:
+        assert r.bm25 == round(r.score_micro / retrieval.SCALE, 6)
+
+
+def test_bm25_k_limits_and_empty_query_raises(spark):
+    docs = _docs(spark, [(i, "hash join") for i in range(10)])
+    assert len(retrieval.bm25_topk(docs, "hash", k=3).collect()) == 3
+    with pytest.raises(ValueError):
+        retrieval.bm25_topk(docs, "   ")
+
+
+def test_bm25_identical_docs_tie_break_on_doc_id(spark):
+    docs = _docs(spark, [(i, "hash join filler") for i in (5, 3, 9, 1)])
+    rows = retrieval.bm25_topk(docs, "hash join", k=3).collect()
+    scores = {r.score_micro for r in rows}
+    assert len(scores) == 1  # identical docs, identical exact score
+    assert [r.doc_id for r in rows] == [1, 3, 5]
+
+
+def test_bm25_plan_is_top_k_not_full_sort(spark):
+    """Scale guard: the global top-k compiles to TakeOrderedAndProject
+    (per-partition heads merged on the driver), never a full Sort."""
+    docs = _docs(spark, [(i, "hash join vector") for i in range(50)])
+    plan = (
+        retrieval.bm25_topk(docs, "hash join", k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
