@@ -178,6 +178,21 @@ def _incremental_split(spark: SparkSession, sf_dir: str):
     return base, new
 
 
+_BM25_QUERIES = [
+    ("q1", "hash join vector"),
+    ("q2", "scan filter"),
+    ("q3", "customer order group line"),
+]
+
+
+def _bm25_queries(spark: SparkSession) -> DataFrame:
+    """The probe batch for bm25_batch (mirrored as a VALUES CTE in the
+    oracle)."""
+    return spark.createDataFrame(
+        _BM25_QUERIES, "query_id string, query_text string"
+    )
+
+
 def _snapshot_new(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 'today' snapshot for snapshot_diff: every 17th doc removed,
     every 11th edited, every 13th re-added under a new id."""
@@ -353,6 +368,8 @@ _WINDOW_FIRST = [
     "dedup_substring",
     "dedup_incremental",
     "bm25_topk",
+    "bm25_batch",
+    "phrase_match",
     # load-bearing long-green fillers (window positions up to 50)
     "extract_spans_pipeline",
     "extract_doc_metrics",
@@ -468,6 +485,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["bm25_topk"] = lambda spark, sf: retrieval.bm25_topk(
         load(spark, sf, "documents"), "hash join vector", k=15
+    )
+    q["bm25_batch"] = lambda spark, sf: retrieval.bm25_topk_batch(
+        load(spark, sf, "documents"), _bm25_queries(spark), k=10
+    )
+    q["phrase_match"] = lambda spark, sf: retrieval.phrase_match_census(
+        load(spark, sf, "documents"), "hash join"
     )
     q["pii_scrub"] = lambda spark, sf: _cast_long(
         textstats.pii_scrub(_docs_with_pii(spark, sf)),
@@ -2090,6 +2113,86 @@ select doc_id, n_terms_matched, score_micro,
 from pd
 order by score_micro desc, doc_id asc
 limit 15
+"""
+
+    # batched BM25: same integer weight, per-query row_number top-k; the
+    # probe batch mirrors _BM25_QUERIES as a VALUES CTE.
+    _tokens_q = _TOKENS.replace("(text,", "(query_text,")
+    _qs_values = ", ".join(f"('{qid}', '{qtext}')" for qid, qtext in _BM25_QUERIES)
+    o["bm25_batch"] = f"""
+with qs as (
+    select * from (values {_qs_values}) v(query_id, query_text)
+),
+qt as (
+    select distinct query_id, term
+    from (select query_id, unnest({_tokens_q}) as term from qs) u
+    where term != ''
+),
+terms as (select distinct term from qt),
+t as (
+    select doc_id, {_TOKENS} as toks,
+           cast(case when regexp_matches(text, '^[ \t\n\x0b\f\r]*$') then 0
+                     else len({_TOKENS}) end as hugeint) as dl
+    from documents
+),
+g as (
+    select cast(count(*) as hugeint) as n_docs,
+           cast(sum(dl) as hugeint) as total_tokens
+    from t
+),
+tf as (
+    select doc_id, term, cast(count(*) as hugeint) as tf
+    from (select doc_id, unnest(toks) as term from t) u
+    join terms using (term)
+    group by doc_id, term
+),
+dfx as (select term, cast(count(*) as hugeint) as df from tf group by term),
+s as (
+    select qt.query_id, tf.doc_id,
+           ((2 * g.n_docs - 2 * dfx.df + 1) * 22000000::hugeint * tf.tf
+            * 1000000::hugeint)
+           // ((2 * dfx.df + 1)
+               * (10000000::hugeint * tf.tf + 3000000::hugeint
+                  + 9::hugeint * ((1000000::hugeint * t2.dl * g.n_docs)
+                                  // g.total_tokens))) as w
+    from tf
+    join dfx using (term)
+    join qt using (term)
+    join t t2 on tf.doc_id = t2.doc_id
+    cross join g
+),
+pd as (
+    select query_id, doc_id, cast(count(*) as bigint) as n_terms_matched,
+           cast(sum(w) as bigint) as score_micro
+    from s group by query_id, doc_id
+),
+r as (
+    select *, row_number() over (partition by query_id
+                                 order by score_micro desc, doc_id asc) as rk
+    from pd
+)
+select query_id, doc_id, cast(rk as bigint) as rank, n_terms_matched,
+       score_micro, round(score_micro / 1000000.0, 6) as bm25
+from r where rk <= 10
+"""
+
+    # exact token-phrase census ('hash join', p = 2): positions where the
+    # 2-token slice equals the literal; only matching docs are emitted.
+    o["phrase_match"] = f"""
+with t as (
+    select doc_id, {_TOKENS} as toks,
+           case when regexp_matches(text, '^[ \t\n\x0b\f\r]*$') then 0
+                else len({_TOKENS}) end as n_tokens
+    from documents
+),
+s as (
+    select doc_id, i
+    from t, unnest(generate_series(1, cast(n_tokens - 1 as int))) as g(i)
+    where array_to_string(toks[i : i + 1], ' ') = 'hash join'
+)
+select doc_id, cast(count(*) as bigint) as n_matches,
+       cast(min(i) as bigint) as first_pos
+from s group by doc_id
 """
 
     o["snapshot_diff"] = """

@@ -80,9 +80,80 @@ def bm25_topk(documents: DataFrame, query: str, k: int = 15) -> DataFrame:
         .agg(F.count(F.lit(1)).cast(_D38).alias("tf"))
     )
     dfx = tf.groupBy("term").agg(F.count(F.lit(1)).cast(_D38).alias("df"))
-    scored = (
-        tf.join(F.broadcast(dfx), "term")
-        .join(lengths, "doc_id")
+    scored = _bm25_scored(tf.join(F.broadcast(dfx), "term"), lengths, glob)
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
+            F.sum("w").cast("long").alias("score_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_terms_matched",
+            "score_micro",
+            F.round(F.col("score_micro") / SCALE, 6).alias("bm25"),
+        )
+        .orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def phrase_match_census(documents: DataFrame, phrase: str) -> DataFrame:
+    """Exact token-phrase occurrence census: documents containing the
+    phrase (ordered, adjacent tokens), with occurrence count and first
+    match position (1-based token offset).
+
+    Shape at 100 TB: ZERO shuffles before the per-doc aggregate — the
+    match positions are a scan-stage higher-order projection
+    (filter over sequence(1, n_windows), comparing each k-token slice to
+    the literal), so the plan is scan -> project -> one map-side-partial
+    hash agg on doc_id.  No postings table, no join: the phrase is a
+    literal and travels with the task.  (The higher-order lambda is
+    interpreted, not codegen'd — fine here because it sits in a terminal
+    projection, never re-inlined into a join; see CLAUDE.md note.)"""
+    terms = [t for t in re.split(f"[{WS_CLASS}]+", phrase.strip()) if t]
+    if not terms:
+        raise ValueError("phrase_match_census: phrase has no terms")
+    p = len(terms)
+    needle = " ".join(terms)
+    t = documents.select(
+        "doc_id", F.explode(F.array(tokens(F.col("text")))).alias("tok")
+    ).select(
+        "doc_id",
+        "tok",
+        F.when(
+            (F.size("tok") == 1) & (F.element_at("tok", 1) == ""), F.lit(0)
+        )
+        .otherwise(F.size("tok"))
+        .alias("n_tokens"),
+    )
+    starts = F.filter(
+        F.sequence(F.lit(1), (F.col("n_tokens") - (p - 1)).cast("int")),
+        lambda i: F.concat_ws(" ", F.slice(F.col("tok"), i, p)) == needle,
+    )
+    return (
+        t.select(
+            "doc_id",
+            F.when(F.col("n_tokens") >= p, starts)
+            .otherwise(F.array().cast("array<int>"))
+            .alias("starts"),
+        )
+        .select(
+            "doc_id",
+            F.size("starts").cast("long").alias("n_matches"),
+            F.element_at("starts", 1).cast("long").alias("first_pos"),
+        )
+        .filter(F.col("n_matches") >= 1)
+    )
+
+
+def _bm25_scored(tf: DataFrame, lengths: DataFrame, glob: DataFrame) -> DataFrame:
+    """Per-(row of ``tf``) exact integer BM25 weight ``w`` (module
+    docstring formula).  ``tf`` carries decimal(38,0) ``tf`` and ``df``
+    columns plus ``doc_id``; ``lengths`` is (doc_id, dl); ``glob`` the
+    1-row (n_docs, total_tokens) broadcast."""
+    return (
+        tf.join(lengths, "doc_id")
         .crossJoin(F.broadcast(glob))
         .withColumn(
             "dlq",
@@ -101,18 +172,72 @@ def bm25_topk(documents: DataFrame, query: str, k: int = 15) -> DataFrame:
             ),
         )
     )
-    return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
-            F.sum("w").cast("long").alias("score_micro"),
+
+
+def bm25_topk_batch(
+    documents: DataFrame, queries: DataFrame, k: int = 10
+) -> DataFrame:
+    """Batched BM25: top-``k`` documents for EVERY query in the
+    ``queries`` table (query_id, query_text) — the retrieval shape a
+    mining job actually runs (thousands of probes in one pass).  A
+    query's duplicate terms count once (term SETS, like bm25_topk).
+
+    Shape at 100 TB: the (query_id, term) table is broadcast twice —
+    once to filter the corpus postings down to the union of all query
+    terms (semi-join inside the scan stage), once to fan matched
+    (doc, term) rows out per asking query; document frequencies are
+    computed ONCE per distinct term regardless of how many queries share
+    it.  Per-query ranking is the shared two-stage salted top-k
+    (operators/ranking.py) — low-cardinality query_id keys never land a
+    full candidate set on one task."""
+    from .ranking import two_stage_topk
+
+    qt = (
+        queries.select(
+            "query_id",
+            F.explode(tokens(F.col("query_text"))).alias("term"),
         )
-        .select(
-            "doc_id",
-            "n_terms_matched",
-            "score_micro",
-            F.round(F.col("score_micro") / SCALE, 6).alias("bm25"),
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    lengths = documents.select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("dl")
+    )
+    glob = documents.agg(
+        F.count(F.lit(1)).cast(_D38).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).cast(_D38).alias("total_tokens"),
+    )
+    terms = qt.select("term").distinct()
+    tf = (
+        documents.select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("term")
         )
-        .orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
-        .limit(k)
+        .join(F.broadcast(terms), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast(_D38).alias("tf"))
+    )
+    dfx = tf.groupBy("term").agg(F.count(F.lit(1)).cast(_D38).alias("df"))
+    per_query = tf.join(F.broadcast(dfx), "term").join(
+        F.broadcast(qt), "term"
+    )
+    scored = _bm25_scored(per_query, lengths, glob)
+    agg = scored.groupBy("query_id", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
+        F.sum("w").cast("long").alias("score_micro"),
+    )
+    ranked = two_stage_topk(
+        agg,
+        part_cols=["query_id"],
+        order_cols=[F.col("score_micro").desc(), F.col("doc_id").asc()],
+        salt_col="doc_id",
+        k=k,
+        rank_alias="rank",
+    )
+    return ranked.select(
+        "query_id",
+        "doc_id",
+        F.col("rank").cast("long").alias("rank"),
+        "n_terms_matched",
+        "score_micro",
+        F.round(F.col("score_micro") / SCALE, 6).alias("bm25"),
     )

@@ -205,3 +205,97 @@ def test_bm25_plan_is_top_k_not_full_sort(spark):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+# --- phrase_match_census ----------------------------------------------------
+
+
+def test_phrase_census_counts_and_positions(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "x hash join y hash join z"),
+            (2, "hash only no phrase"),
+            (3, "hash join"),
+            (4, "   "),
+        ],
+    )
+    out = {
+        r.doc_id: r
+        for r in retrieval.phrase_match_census(docs, "hash join").collect()
+    }
+    assert set(out) == {1, 3}  # docs 2 and 4 have no match
+    assert out[1].n_matches == 2 and out[1].first_pos == 2
+    assert out[3].n_matches == 1 and out[3].first_pos == 1
+
+
+def test_phrase_census_overlapping_matches_counted(spark):
+    docs = _docs(spark, [(1, "a a a a")])
+    row = retrieval.phrase_match_census(docs, "a a").collect()[0]
+    assert row.n_matches == 3  # starts 1, 2, 3 overlap
+    assert row.first_pos == 1
+
+
+def test_phrase_census_empty_phrase_raises(spark):
+    docs = _docs(spark, [(1, "a b")])
+    with pytest.raises(ValueError):
+        retrieval.phrase_match_census(docs, " \t ")
+
+
+def test_phrase_census_plan_has_no_shuffle(spark):
+    """Scale guard: the census is a pure scan-stage projection — no
+    Exchange anywhere in the plan (the phrase is a literal, so there is
+    no postings table and no join)."""
+    docs = _docs(spark, [(i, "hash join etc") for i in range(20)])
+    plan = (
+        retrieval.phrase_match_census(docs, "hash join")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+# --- bm25_topk_batch --------------------------------------------------------
+
+
+def test_bm25_batch_matches_single_query_results(spark):
+    """The batch operator must reproduce bm25_topk exactly for each
+    query (same integer scores, same order)."""
+    docs = _docs(
+        spark,
+        [
+            (1, "hash hash hash join vector"),
+            (2, "hash hash hash hash hash"),
+            (3, "filler filler filler"),
+            (4, "hash join vector"),
+        ],
+    )
+    queries = spark.createDataFrame(
+        [("qa", "hash join vector"), ("qb", "filler")],
+        "query_id string, query_text string",
+    )
+    batch = retrieval.bm25_topk_batch(docs, queries, k=10).collect()
+    single = retrieval.bm25_topk(docs, "hash join vector", k=10).collect()
+    got_qa = [
+        (r.doc_id, r.score_micro, r.n_terms_matched)
+        for r in sorted(
+            (r for r in batch if r.query_id == "qa"), key=lambda r: r.rank
+        )
+    ]
+    want = [(r.doc_id, r.score_micro, r.n_terms_matched) for r in single]
+    assert got_qa == want
+    got_qb = [r.doc_id for r in batch if r.query_id == "qb"]
+    assert got_qb == [3]  # only the filler doc matches 'filler'
+
+
+def test_bm25_batch_duplicate_query_terms_count_once(spark):
+    docs = _docs(spark, [(1, "hash a b"), (2, "hash hash a b")])
+    queries = spark.createDataFrame(
+        [("q1", "hash hash hash"), ("q2", "hash")],
+        "query_id string, query_text string",
+    )
+    rows = retrieval.bm25_topk_batch(docs, queries, k=5).collect()
+    s = {(r.query_id, r.doc_id): r.score_micro for r in rows}
+    assert s[("q1", 1)] == s[("q2", 1)]  # term SETS: q1 == q2
+    assert s[("q1", 2)] == s[("q2", 2)]
