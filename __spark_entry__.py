@@ -370,6 +370,7 @@ _WINDOW_FIRST = [
     "bm25_topk",
     "bm25_batch",
     "phrase_match",
+    "cdc_segments",
     # load-bearing long-green fillers (window positions up to 50)
     "extract_spans_pipeline",
     "extract_doc_metrics",
@@ -491,6 +492,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["phrase_match"] = lambda spark, sf: retrieval.phrase_match_census(
         load(spark, sf, "documents"), "hash join"
+    )
+    q["cdc_segments"] = lambda spark, sf: corpusops.cdc_segment_census(
+        _docs_with_near_dups(spark, sf)
     )
     q["pii_scrub"] = lambda spark, sf: _cast_long(
         textstats.pii_scrub(_docs_with_pii(spark, sf)),
@@ -2193,6 +2197,51 @@ s as (
 select doc_id, cast(count(*) as bigint) as n_matches,
        cast(min(i) as bigint) as first_pos
 from s group by doc_id
+"""
+
+    # content-defined chunking census: boundary after any token whose md5
+    # starts with '0'; DuckDB's ordered string_agg rebuilds the segment
+    # exactly as Spark's array_sort(collect_list(struct(pos, token))).
+    o["cdc_segments"] = f"""
+with docs_aug as ({_NEAR_AUG_SQL}),
+t as (
+    select doc_id, {_TOKENS} as toks,
+           cast(case when regexp_matches(text, '^[ \t\n\x0b\f\r]*$') then 0
+                     else len({_TOKENS}) end as bigint) as n_tokens
+    from docs_aug
+),
+tok as (
+    select doc_id, i as pos, toks[i] as token
+    from t, unnest(generate_series(1, cast(n_tokens as int))) as g(i)
+),
+b as (
+    select doc_id, pos, token,
+           case when substr(md5(token), 1, 1) = '0' then 1 else 0 end as bf
+    from tok
+),
+s as (
+    select doc_id, pos, token,
+           coalesce(sum(bf) over (partition by doc_id order by pos
+                    rows between unbounded preceding and 1 preceding), 0) as seg_id
+    from b
+),
+seg as (
+    select doc_id, seg_id, md5(string_agg(token, ' ' order by pos)) as seg_hash
+    from s group by doc_id, seg_id
+),
+cf as (select seg_hash, count(*) as n_occ from seg group by seg_hash),
+pd as (
+    select seg.doc_id, cast(count(*) as bigint) as n_segs,
+           cast(sum(case when cf.n_occ >= 2 then 1 else 0 end) as bigint) as n_dup_segs
+    from seg join cf using (seg_hash) group by seg.doc_id
+)
+select t.doc_id, t.n_tokens,
+       cast(coalesce(pd.n_segs, 0) as bigint) as n_segs,
+       cast(coalesce(pd.n_dup_segs, 0) as bigint) as n_dup_segs,
+       case when pd.n_segs > 0
+            then round(pd.n_dup_segs / cast(pd.n_segs as double), 6)
+       end as cdc_dup_ratio
+from t left join pd using (doc_id)
 """
 
     o["snapshot_diff"] = """

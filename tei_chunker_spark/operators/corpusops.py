@@ -1000,3 +1000,96 @@ def bpe_segment_census(documents: DataFrame, n_merges: int = 8) -> DataFrame:
             ),
         )
     )
+
+
+def cdc_segment_census(documents: DataFrame) -> DataFrame:
+    """Content-defined chunking (CDC) duplicate-segment census: cut each
+    document into variable-length segments at CONTENT-defined boundaries
+    (after any token whose md5 starts with '0' — expected segment length
+    16 tokens), hash each segment, and report per document how many of
+    its segments occur >= 2 times corpus-wide.
+
+    Why next to ``boilerplate_stats`` (fixed 10-token grid): a one-token
+    insertion shifts EVERY downstream fixed segment (alignment destroyed,
+    dup signal lost), while CDC boundaries depend only on local content —
+    all segments after the edit's own segment still match.  This is the
+    rolling-hash trick backup/dedup systems use, applied to corpus
+    curation.  The boundary rule is a pure function of the token (md5
+    first nibble), so it is engine-portable and needs no rolling state.
+
+    Shape at 100 TB: one linear posexplode; the ONLY ordered window is
+    per-doc (exclusive prefix sum of boundary flags — high-cardinality
+    key, partition bounded by doc length); the (doc, seg) regroup REUSES
+    the doc_id partitioning (no extra exchange); the corpus census is a
+    hash agg on seg_hash with linear join fan-in, exactly like
+    boilerplate_stats.  Blank docs have zero segments and re-enter via
+    the final left join (NULL ratio)."""
+    t = documents.select(
+        "doc_id", F.explode(F.array(tokens(F.col("text")))).alias("tok")
+    ).select(
+        "doc_id",
+        "tok",
+        F.when(
+            (F.size("tok") == 1) & (F.element_at("tok", 1) == ""), F.lit(0)
+        )
+        .otherwise(F.size("tok"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    # blank docs split to [''] — the guard stops the phantom segment
+    tokd = t.select(
+        "doc_id",
+        F.posexplode(
+            F.when(F.col("n_tokens") >= 1, F.col("tok")).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("pos", "token"),
+    ).withColumn(
+        "bf",
+        (F.substring(F.md5("token"), 1, 1) == "0").cast("long"),
+    )
+    w_excl = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    s = tokd.withColumn(
+        "seg_id", F.coalesce(F.sum("bf").over(w_excl), F.lit(0))
+    )
+    # collect_list order is nondeterministic under shuffle — sort by the
+    # carried pos before joining the tokens back into the segment string.
+    seg = s.groupBy("doc_id", "seg_id").agg(
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                    lambda x: x["token"],
+                ),
+            )
+        ).alias("seg_hash"),
+        F.count(F.lit(1)).cast("long").alias("seg_len"),
+    )
+    cf = seg.groupBy("seg_hash").agg(F.count(F.lit(1)).alias("n_occ"))
+    pd = (
+        seg.join(cf, "seg_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segs"),
+            F.sum((F.col("n_occ") >= 2).cast("long")).alias("n_dup_segs"),
+        )
+    )
+    return (
+        t.select("doc_id", "n_tokens")
+        .join(pd, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_segs", F.lit(0).cast("long")).alias("n_segs"),
+            F.coalesce("n_dup_segs", F.lit(0).cast("long")).alias("n_dup_segs"),
+            F.when(
+                F.col("n_segs").isNotNull() & (F.col("n_segs") > 0),
+                F.round(F.col("n_dup_segs") / F.col("n_segs"), 6),
+            ).alias("cdc_dup_ratio"),
+        )
+    )

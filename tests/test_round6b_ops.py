@@ -299,3 +299,51 @@ def test_bm25_batch_duplicate_query_terms_count_once(spark):
     s = {(r.query_id, r.doc_id): r.score_micro for r in rows}
     assert s[("q1", 1)] == s[("q2", 1)]  # term SETS: q1 == q2
     assert s[("q1", 2)] == s[("q2", 2)]
+
+
+# --- cdc_segment_census -----------------------------------------------------
+# md5('w18') starts with '0' (verified in-test) -> boundary AFTER w18;
+# w0..w7 are non-boundary tokens.
+
+
+def test_cdc_boundary_fixture_assumption():
+    import hashlib
+
+    assert hashlib.md5(b"w18").hexdigest()[0] == "0"
+    for w in ("w0", "w1", "w2", "w3", "prefix"):
+        assert hashlib.md5(w.encode()).hexdigest()[0] != "0"
+
+
+def test_cdc_segments_survive_prefix_shift(spark):
+    """The CDC property fixed-grid boilerplate lacks: a token inserted at
+    the FRONT only perturbs the first segment — every later segment
+    still matches the unshifted doc."""
+    from tei_chunker_spark.operators.corpusops import cdc_segment_census
+
+    base = "w0 w1 w18 w2 w3"  # segments: [w0 w1 w18] [w2 w3]
+    docs = _docs(spark, [(1, base), (2, "prefix " + base)])
+    out = {r.doc_id: r for r in cdc_segment_census(docs).collect()}
+    assert out[1].n_segs == 2 and out[2].n_segs == 2
+    # the post-boundary segment [w2 w3] is shared despite the shift
+    assert out[1].n_dup_segs == 1
+    assert out[2].n_dup_segs == 1
+    assert out[1].cdc_dup_ratio == 0.5
+
+
+def test_cdc_identical_docs_fully_duplicated(spark):
+    from tei_chunker_spark.operators.corpusops import cdc_segment_census
+
+    docs = _docs(spark, [(1, "w0 w18 w1 w2"), (2, "w0 w18 w1 w2")])
+    out = {r.doc_id: r for r in cdc_segment_census(docs).collect()}
+    assert out[1].n_segs == 2
+    assert out[1].n_dup_segs == 2 and out[1].cdc_dup_ratio == 1.0
+
+
+def test_cdc_blank_and_unique_docs(spark):
+    from tei_chunker_spark.operators.corpusops import cdc_segment_census
+
+    docs = _docs(spark, [(1, "   "), (2, "w0 w1 w2")])
+    out = {r.doc_id: r for r in cdc_segment_census(docs).collect()}
+    assert out[1].n_tokens == 0 and out[1].n_segs == 0
+    assert out[1].cdc_dup_ratio is None
+    assert out[2].n_segs == 1 and out[2].n_dup_segs == 0
