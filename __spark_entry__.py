@@ -371,6 +371,9 @@ _WINDOW_FIRST = [
     "bm25_batch",
     "phrase_match",
     "cdc_segments",
+    "dedup_containment",
+    "winnow_census",
+    "lm_bigram_score",
     # load-bearing long-green fillers (window positions up to 50)
     "extract_spans_pipeline",
     "extract_doc_metrics",
@@ -495,6 +498,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["cdc_segments"] = lambda spark, sf: corpusops.cdc_segment_census(
         _docs_with_near_dups(spark, sf)
+    )
+    q["dedup_containment"] = lambda spark, sf: dedup.containment_pairs(
+        dedup.shingle_table(_docs_with_near_dups(spark, sf), n=2),
+        threshold=0.9,
+        max_shingle_df=20,
+    )
+    q["winnow_census"] = lambda spark, sf: textstats.winnow_fingerprint_census(
+        _docs_with_near_dups(spark, sf), k=3, w=4
+    )
+    q["lm_bigram_score"] = lambda spark, sf: corpusops.lm_bigram_score(
+        load(spark, sf, "documents")
     )
     q["pii_scrub"] = lambda spark, sf: _cast_long(
         textstats.pii_scrub(_docs_with_pii(spark, sf)),
@@ -2242,6 +2256,115 @@ select t.doc_id, t.n_tokens,
             then round(pd.n_dup_segs / cast(pd.n_segs as double), 6)
        end as cdc_dup_ratio
 from t left join pd using (doc_id)
+"""
+
+    # directional containment: one intersection per unordered pair,
+    # unpivoted to both directions (same as the Spark explode).
+    o["dedup_containment"] = f"""
+with docs_aug as ({_NEAR_AUG_SQL}),
+tok as (select doc_id, {_TOKENS} as t from docs_aug),
+grams as (select doc_id, list_distinct({grams}) as g from tok),
+sh0 as (select doc_id, unnest(g) as shingle from grams),
+keep as (select shingle from sh0 group by shingle having count(*) <= 20),
+sh as (select sh0.* from sh0 semi join keep on sh0.shingle = keep.shingle),
+sizes as (select doc_id, count(*) as set_size from sh group by doc_id),
+inter as (
+    select a.doc_id as a_id, b.doc_id as b_id, count(*) as inter
+    from sh a join sh b on a.shingle = b.shingle and a.doc_id < b.doc_id
+    group by a.doc_id, b.doc_id
+),
+both_t as (
+    select i.a_id, i.b_id, i.inter, sa.set_size as a_size, sb.set_size as b_size
+    from inter i join sizes sa on i.a_id = sa.doc_id
+                 join sizes sb on i.b_id = sb.doc_id
+),
+directed as (
+    select a_id as src_id, b_id as dst_id,
+           round(inter / cast(a_size as double), 6) as containment from both_t
+    union all
+    select b_id as src_id, a_id as dst_id,
+           round(inter / cast(b_size as double), 6) as containment from both_t
+)
+select src_id, dst_id, containment from directed where containment >= 0.9
+"""
+
+    # winnowing: the window key md5(gram) || lpad(10^8 - pos) makes plain
+    # string MIN pick (min hash, rightmost pos) in both engines.
+    o["winnow_census"] = f"""
+with docs_aug as ({_NEAR_AUG_SQL}),
+t as (
+    select doc_id, {_TOKENS} as toks,
+           cast(case when regexp_matches(text, '^[ \t\n\x0b\f\r]*$') then 0
+                     else len({_TOKENS}) end as bigint) as n_tokens
+    from docs_aug
+),
+g as (
+    select doc_id, i as gpos, greatest(n_tokens - 2, 0) as n_grams,
+           md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             || lpad(cast(99999999 - i as varchar), 8, '0') as key
+    from t, unnest(generate_series(1, cast(greatest(n_tokens - 2, 0) as int))) as u(i)
+),
+win as (
+    select doc_id, gpos, n_grams,
+           min(key) over (partition by doc_id order by gpos
+                          rows between current row and 3 following) as sel_key
+    from g
+),
+sel as (select distinct doc_id, sel_key from win where gpos <= n_grams - 3),
+fps as (select doc_id, substr(sel_key, 1, 32) as fp_hash from sel),
+dfp as (
+    select fp_hash, count(*) as fp_df
+    from (select distinct doc_id, fp_hash from fps) group by fp_hash
+),
+per_doc as (
+    select fps.doc_id, cast(count(*) as bigint) as n_fp,
+           cast(sum(case when dfp.fp_df >= 2 then 1 else 0 end) as bigint) as n_shared_fp
+    from fps join dfp using (fp_hash) group by fps.doc_id
+)
+select t.doc_id, t.n_tokens,
+       cast(coalesce(per_doc.n_fp, 0) as bigint) as n_fp,
+       cast(coalesce(per_doc.n_shared_fp, 0) as bigint) as n_shared_fp,
+       case when per_doc.n_fp > 0
+            then round(per_doc.n_shared_fp / cast(per_doc.n_fp as double), 6)
+       end as shared_ratio
+from t left join per_doc using (doc_id)
+"""
+
+    # exact-integer bigram LM: every quotient is hugeint // (== Spark
+    # decimal(38,0) div); no ln anywhere (libm rounding is engine-defined).
+    o["lm_bigram_score"] = f"""
+with t as (
+    select doc_id, {_TOKENS} as toks,
+           cast(case when regexp_matches(text, '^[ \t\n\x0b\f\r]*$') then 0
+                     else len({_TOKENS}) end as bigint) as n_tokens
+    from documents
+),
+tr as (
+    select doc_id, toks[i] as w1, toks[i+1] as w2
+    from t, unnest(generate_series(1, cast(n_tokens - 1 as int))) as u(i)
+),
+dbg as (
+    select doc_id, w1, w2, cast(count(*) as hugeint) as cnt
+    from tr group by doc_id, w1, w2
+),
+bg as (select w1, w2, cast(sum(cnt) as hugeint) as c12 from dbg group by w1, w2),
+ctx as (select w1, cast(sum(c12) as hugeint) as c1 from bg group by w1),
+v as (select cast(count(distinct w2) as hugeint) as v_types from bg),
+weighted as (
+    select dbg.doc_id,
+           cast(sum(dbg.cnt) as bigint) as n_transitions,
+           cast(sum(dbg.cnt * (((bg.c12 + 1) * 1000000::hugeint)
+                               // (ctx.c1 + v.v_types)))
+                // sum(dbg.cnt) as bigint) as score_ppm
+    from dbg join bg on dbg.w1 = bg.w1 and dbg.w2 = bg.w2
+             join ctx on dbg.w1 = ctx.w1
+             cross join v
+    group by dbg.doc_id
+)
+select t.doc_id, t.n_tokens,
+       cast(coalesce(w.n_transitions, 0) as bigint) as n_transitions,
+       w.score_ppm
+from t left join weighted w using (doc_id)
 """
 
     o["snapshot_diff"] = """

@@ -1093,3 +1093,103 @@ def cdc_segment_census(documents: DataFrame) -> DataFrame:
             ).alias("cdc_dup_ratio"),
         )
     )
+
+
+def lm_bigram_score(documents: DataFrame) -> DataFrame:
+    """In-corpus bigram language-model fluency score, CCNet-style quality
+    filtering (Wenzek et al., "CCNet: Extracting High Quality Monolingual
+    Datasets") but with EXACT integer arithmetic: per document, the mean
+    Laplace-smoothed corpus transition probability of its token bigrams,
+    in parts-per-million.  p_ppm(w1→w2) = ((c(w1,w2) + 1) * 10^6) div
+    (c(w1) + V) with V = distinct successor types in the corpus (the
+    add-one denominator); doc score = (Σ cnt·p_ppm) div Σ cnt over the
+    doc's distinct bigrams weighted by in-doc count.  The smoothing is
+    LOAD-BEARING for a self-trained LM, not a nicety: unsmoothed
+    conditional probability gives every singleton context p = 1/1 = 1.0,
+    so one-off gibberish ("zq xv bn mk") scores PERFECT fluency; the +V
+    denominator collapses singleton-context transitions to ~10^6/V while
+    frequent deterministic transitions keep c12/c1-scale scores
+    (test-pinned separation).  Every quotient is a decimal(38,0) ``div``
+    (== DuckDB hugeint ``//``, the bm25 device), so the score is
+    bit-identical cross-engine; ``ln`` is deliberately absent (libm
+    rounding is engine-defined — see retrieval.py's rational-idf note).
+
+    One tokenize pass: the per-doc bigram count table ``dbg`` is built
+    once (localCheckpoint — ContextCleaner-managed, see
+    dedup.jaccard_pairs) and BOTH the global bigram counts and the
+    context counts derive from it by hash aggregation (map-side partial);
+    scoring is two equi-joins on (w1, w2) / (w1) plus a final hash agg on
+    doc_id.  No windows, no all-pairs, no corpus-order dependence —
+    every sum is order-independent integer arithmetic.  Docs with < 2
+    tokens have no transitions: n_transitions = 0, score_ppm NULL."""
+    t = documents.select(
+        "doc_id", F.explode(F.array(tokens(F.col("text")))).alias("tok")
+    ).select(
+        "doc_id",
+        "tok",
+        F.when(
+            (F.size("tok") == 1) & (F.element_at("tok", 1) == ""), F.lit(0)
+        )
+        .otherwise(F.size("tok"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    tr = t.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.col("n_tokens") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(tok) - 1),"
+                    " i -> struct(tok[i-1] as w1, tok[i] as w2))"
+                ),
+            ).otherwise(F.expr("array()").cast("array<struct<w1:string,w2:string>>"))
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    dbg = (
+        tr.groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    bg = dbg.groupBy("w1", "w2").agg(
+        F.sum("cnt").cast("decimal(38,0)").alias("c12")
+    )
+    ctx = bg.groupBy("w1").agg(F.sum("c12").cast("decimal(38,0)").alias("c1"))
+    # V (distinct successor types) is ONE row — broadcast, never shuffled
+    vocab = bg.select(
+        F.count_distinct("w2").cast("decimal(38,0)").alias("v_types")
+    )
+    weighted = (
+        dbg.join(bg, ["w1", "w2"])
+        .join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "p_ppm",
+            F.expr(
+                "((c12 + cast(1 as decimal(38,0)))"
+                " * cast(1000000 as decimal(38,0))) div (c1 + v_types)"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_transitions"),
+            F.expr(
+                "sum(cast(cnt as decimal(38,0)) * p_ppm)"
+                " div cast(sum(cnt) as decimal(38,0))"
+            )
+            .cast("long")
+            .alias("score_ppm"),
+        )
+    )
+    return (
+        t.select("doc_id", "n_tokens")
+        .join(weighted, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_transitions", F.lit(0).cast("long")).alias(
+                "n_transitions"
+            ),
+            F.col("score_ppm"),
+        )
+    )

@@ -171,6 +171,86 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    shingles: DataFrame,
+    threshold: float = 0.8,
+    max_shingle_df: int = None,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT C(src→dst) = |src ∩ dst| / |src| for
+    doc pairs sharing at least one shingle — the subset-duplication
+    signal symmetric Jaccard misses: a short doc fully quoted inside a
+    much longer one has tiny Jaccard (union is dominated by the long doc)
+    but containment ≈ 1.0 from the short side.  This is the Broder
+    containment measure; training-data pipelines use it to drop pages
+    that are verbatim sub-documents of kept pages.
+
+    Output is directional: (src_id, dst_id, containment) with
+    containment = |shingles(src) ∩ shingles(dst)| / |shingles(src)|
+    rounded to 6, kept when >= threshold, src_id != dst_id.  Both
+    directions of a pair are scored from ONE intersection aggregate
+    (computed once per unordered pair, then unpivoted to the two
+    directions — the unpivot scans the pair-sized table, not postings).
+
+    Scale shape is jaccard_pairs': df-capped postings (``max_shingle_df``
+    guillotine), df>=2 join-side filter, hash-agg intersection — linear
+    fan-in, no all-pairs.  The df cap is MORE defensible here than for
+    Jaccard: a boilerplate shingle shared by B docs contributes B² pair
+    rows but raises containment of full-page dups by at most 1/|src|."""
+    if max_shingle_df is not None:
+        keep = (
+            shingles.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("shingle")
+        )
+        # materialized once for sizes + intersection (see jaccard_pairs
+        # note on localCheckpoint vs persist)
+        shingles = shingles.join(keep, "shingle").localCheckpoint(eager=True)
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    paired = (
+        shingles.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("shingle")
+    )
+    joinable = shingles.join(paired, "shingle")
+    a = joinable.alias("a")
+    b = joinable.alias("b")
+    inter = (
+        a.join(b, on=(F.col("a.shingle") == F.col("b.shingle")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("set_size", "a_size")
+    sb = sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("set_size", "b_size")
+    both = inter.join(sa, "a_id").join(sb, "b_id")
+    directed = both.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("a_id").alias("src_id"),
+                    F.col("b_id").alias("dst_id"),
+                    F.col("a_size").alias("src_size"),
+                ),
+                F.struct(
+                    F.col("b_id").alias("src_id"),
+                    F.col("a_id").alias("dst_id"),
+                    F.col("b_size").alias("src_size"),
+                ),
+            )
+        ).alias("d"),
+        "inter",
+    ).select(
+        F.col("d.src_id").alias("src_id"),
+        F.col("d.dst_id").alias("dst_id"),
+        F.round(F.col("inter") / F.col("d.src_size"), 6).alias("containment"),
+    )
+    return directed.filter(F.col("containment") >= threshold)
+
+
 def _collapse_exact(documents: DataFrame):
     """(mapping, reps): exact-duplicate pre-collapse for band-key search.
 

@@ -20,7 +20,7 @@ headline plan).
 """
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.columns import (
@@ -28,6 +28,7 @@ from ..functions.columns import (
     char_shingles,
     is_blank,
     tokens,
+    word_ngrams,
 )
 
 # Tiny deterministic stopword lists (shared with the SQL oracles verbatim).
@@ -302,3 +303,104 @@ def simhash64(documents: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         F.explode(F.array(F.expr(_simhash_packed_sql(text_col)))).alias("_pk"),
     ).select("doc_id", F.expr(_simhash_from_packed_sql("_pk")).alias("simhash"))
+
+
+def winnow_fingerprint_census(
+    documents: DataFrame, k: int = 3, w: int = 4
+) -> DataFrame:
+    """Winnowing fingerprint census (Schleimer/Wilkerson/Aiken, SIGMOD'03
+    — the MOSS local-fingerprinting scheme): hash every word k-gram, then
+    in each sliding window of ``w`` consecutive k-gram hashes select the
+    minimum (rightmost on ties, per the paper), and report per document
+    how many of its selected fingerprints are shared with another
+    document.  Winnowing guarantees any shared run of >= k + w - 1 tokens
+    produces at least one IDENTICAL selected fingerprint in both docs —
+    a detection guarantee neither the fixed grid (alignment-fragile) nor
+    CDC (expected-length only, no worst-case bound) offers.
+
+    Rightmost-min tie-break without argmin portability hazards: the
+    window key is ``md5(gram) || lpad(10^8 - pos)`` so a PLAIN string
+    ``min`` over the w-row frame picks (min hash, max pos) — identical
+    semantics in Spark and DuckDB.  Adjacent windows selecting the same
+    (hash, pos) collapse via distinct, as in the paper.
+
+    Scale shape: one linear k-gram explode; the only ordered window is
+    per-doc with a w-row frame (partition bounded by doc length); the
+    fingerprint frequency table is a hash agg on the 32-char hash;
+    per-doc rollup is a hash agg on doc_id.  No corpus-wide window, no
+    all-pairs.  Docs with fewer than k + w - 1 tokens yield zero
+    fingerprints and re-enter through the final left join."""
+    t = documents.select(
+        "doc_id", F.explode(F.array(tokens(F.col("text")))).alias("tok")
+    ).select(
+        "doc_id",
+        "tok",
+        F.when(
+            (F.size("tok") == 1) & (F.element_at("tok", 1) == ""), F.lit(0)
+        )
+        .otherwise(F.size("tok"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    # generator barrier: materialize the k-gram array once (see
+    # shingle_table / cdc_segment_census for the re-inline hazard)
+    g = t.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.when(
+                    F.col("n_tokens") >= k, word_ngrams(F.col("tok"), k)
+                ).otherwise(F.array().cast("array<string>"))
+            )
+        ).alias("grams"),
+    ).select(
+        "doc_id",
+        F.size("grams").cast("long").alias("n_grams"),
+        F.posexplode("grams").alias("gpos0", "gram"),
+    )
+    keyed = g.select(
+        "doc_id",
+        "n_grams",
+        (F.col("gpos0") + 1).alias("gpos"),
+        F.concat(
+            F.md5("gram"),
+            F.lpad((F.lit(99999999) - F.col("gpos0") - 1).cast("string"), 8, "0"),
+        ).alias("key"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("gpos").rowsBetween(0, w - 1)
+    sel = (
+        keyed.withColumn("sel_key", F.min("key").over(win))
+        .filter(F.col("gpos") <= F.col("n_grams") - (w - 1))
+        .select("doc_id", "sel_key")
+        .distinct()
+    )
+    fps = sel.select("doc_id", F.substring("sel_key", 1, 32).alias("fp_hash"))
+    # corpus df over DISTINCT (doc, hash): a doc re-selecting the same
+    # hash at two positions must not make it "shared" by itself
+    df_tbl = (
+        fps.distinct()
+        .groupBy("fp_hash")
+        .agg(F.count(F.lit(1)).alias("fp_df"))
+    )
+    per_doc = (
+        fps.join(df_tbl, "fp_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_fp"),
+            F.sum((F.col("fp_df") >= 2).cast("long")).alias("n_shared_fp"),
+        )
+    )
+    return (
+        t.select("doc_id", "n_tokens")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_fp", F.lit(0).cast("long")).alias("n_fp"),
+            F.coalesce("n_shared_fp", F.lit(0).cast("long")).alias("n_shared_fp"),
+            F.when(
+                F.col("n_fp").isNotNull() & (F.col("n_fp") > 0),
+                F.round(F.col("n_shared_fp") / F.col("n_fp"), 6),
+            ).alias("shared_ratio"),
+        )
+    )

@@ -347,3 +347,128 @@ def test_cdc_blank_and_unique_docs(spark):
     assert out[1].n_tokens == 0 and out[1].n_segs == 0
     assert out[1].cdc_dup_ratio is None
     assert out[2].n_segs == 1 and out[2].n_dup_segs == 0
+
+
+# --- containment_pairs ------------------------------------------------------
+
+
+def test_containment_asymmetric_subset(spark):
+    """A short doc verbatim inside a long one: containment ≈ 1.0 from the
+    short side, well below threshold from the long side — the signal
+    symmetric Jaccard misses."""
+    docs = _docs(
+        spark,
+        [
+            (1, "a b c d e f"),
+            (2, "x1 x2 x3 x4 a b c d e f y1 y2 y3 y4 y5"),
+        ],
+    )
+    out = dedup.containment_pairs(
+        dedup.shingle_table(docs, 2), threshold=0.8
+    ).collect()
+    rows = {(r.src_id, r.dst_id): r.containment for r in out}
+    assert rows == {(1, 2): 1.0}  # 2→1 is 5/14, filtered
+
+
+def test_containment_exact_dup_both_directions(spark):
+    docs = _docs(spark, [(1, "a b c d"), (2, "a b c d")])
+    out = dedup.containment_pairs(
+        dedup.shingle_table(docs, 2), threshold=0.9
+    ).collect()
+    rows = {(r.src_id, r.dst_id): r.containment for r in out}
+    assert rows == {(1, 2): 1.0, (2, 1): 1.0}
+
+
+def test_containment_df_cap_drops_boilerplate_shingle(spark):
+    """With the guillotine at df<=2 a shingle shared by 3 docs is dropped
+    before pairing — the remaining unique shingles produce no pairs."""
+    docs = _docs(
+        spark, [(1, "z z u1 u2"), (2, "z z v1 v2"), (3, "z z w1 w2")]
+    )
+    out = dedup.containment_pairs(
+        dedup.shingle_table(docs, 2), threshold=0.1, max_shingle_df=2
+    ).collect()
+    assert out == []
+
+
+# --- winnow_fingerprint_census ---------------------------------------------
+
+
+def test_winnow_shared_run_guarantee(spark):
+    """Winnowing's detection guarantee: any shared token run of length
+    >= k + w - 1 (= 6 here) produces at least one identical selected
+    fingerprint in both docs — regardless of alignment."""
+    shared = "s1 s2 s3 s4 s5 s6"
+    docs = _docs(
+        spark,
+        [
+            (1, f"a1 a2 a3 {shared} a4"),
+            (2, f"{shared} b1 b2 b3 b4 b5 b6 b7"),
+        ],
+    )
+    from tei_chunker_spark.operators.textstats import winnow_fingerprint_census
+
+    out = {r.doc_id: r for r in winnow_fingerprint_census(docs).collect()}
+    assert out[1].n_shared_fp >= 1
+    assert out[2].n_shared_fp >= 1
+
+
+def test_winnow_short_and_blank_docs(spark):
+    from tei_chunker_spark.operators.textstats import winnow_fingerprint_census
+
+    docs = _docs(spark, [(1, "   "), (2, "a b c d e")])  # 5 < k+w-1
+    out = {r.doc_id: r for r in winnow_fingerprint_census(docs).collect()}
+    assert out[1].n_tokens == 0 and out[1].n_fp == 0
+    assert out[1].shared_ratio is None
+    assert out[2].n_fp == 0  # 3 grams < w full windows
+
+
+def test_winnow_unique_docs_share_nothing(spark):
+    from tei_chunker_spark.operators.textstats import winnow_fingerprint_census
+
+    docs = _docs(
+        spark,
+        [(1, "a1 a2 a3 a4 a5 a6 a7 a8"), (2, "b1 b2 b3 b4 b5 b6 b7 b8")],
+    )
+    out = {r.doc_id: r for r in winnow_fingerprint_census(docs).collect()}
+    assert out[1].n_fp >= 1 and out[1].n_shared_fp == 0
+    assert out[2].n_shared_fp == 0 and out[2].shared_ratio == 0.0
+
+
+# --- lm_bigram_score --------------------------------------------------------
+
+
+def test_lm_score_exact_values(spark):
+    """Hand-computed Laplace: corpus = {1: 'a b', 2: 'a b', 3: 'a c'}.
+    c(a)=3, c(a,b)=2, c(a,c)=1, V=|{b,c}|=2 →
+    p(b|a) = 3·10^6 div 5 = 600000 ppm, p(c|a) = 2·10^6 div 5 = 400000."""
+    from tei_chunker_spark.operators.corpusops import lm_bigram_score
+
+    docs = _docs(spark, [(1, "a b"), (2, "a b"), (3, "a c")])
+    out = {r.doc_id: r for r in lm_bigram_score(docs).collect()}
+    assert out[1].score_ppm == 600000
+    assert out[2].score_ppm == 600000
+    assert out[3].score_ppm == 400000
+
+
+def test_lm_score_fluent_above_gibberish(spark):
+    """Docs made of corpus-frequent transitions outscore a doc of
+    one-off transitions — the quality-filter separation that REQUIRES
+    the Laplace denominator (unsmoothed, every singleton context scores
+    p = 1/1 and the gibberish doc would be 'perfectly fluent')."""
+    from tei_chunker_spark.operators.corpusops import lm_bigram_score
+
+    rows = [(i, "the cat sat on the mat") for i in range(10)]
+    rows.append((99, "zq xv bn mk lp rs"))
+    out = {r.doc_id: r for r in lm_bigram_score(_docs(spark, rows)).collect()}
+    assert out[0].score_ppm > 2 * out[99].score_ppm
+
+
+def test_lm_score_short_docs_null(spark):
+    from tei_chunker_spark.operators.corpusops import lm_bigram_score
+
+    docs = _docs(spark, [(1, "solo"), (2, "  "), (3, "a b")])
+    out = {r.doc_id: r for r in lm_bigram_score(docs).collect()}
+    assert out[1].n_transitions == 0 and out[1].score_ppm is None
+    assert out[2].n_transitions == 0 and out[2].score_ppm is None
+    assert out[3].n_transitions == 1
