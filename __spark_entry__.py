@@ -374,6 +374,7 @@ _WINDOW_FIRST = [
     "dedup_containment",
     "winnow_census",
     "lm_bigram_score",
+    "semantic_dedup",
     # load-bearing long-green fillers (window positions up to 50)
     "extract_spans_pipeline",
     "extract_doc_metrics",
@@ -509,6 +510,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["lm_bigram_score"] = lambda spark, sf: corpusops.lm_bigram_score(
         load(spark, sf, "documents")
+    )
+    q["semantic_dedup"] = lambda spark, sf: dedup.semantic_dedup(
+        load(spark, sf, "embeddings"), threshold=0.3
     )
     q["pii_scrub"] = lambda spark, sf: _cast_long(
         textstats.pii_scrub(_docs_with_pii(spark, sf)),
@@ -1345,6 +1349,71 @@ scored as (
     from af a join af b on a.cell = b.cell and a.vec_id < b.vec_id
 )
 select * from scored where cos_sim >= 0.3
+"""
+    )
+
+    # SemDeDup: same codebook chain; af carries qv so centroid similarity
+    # is exact-integer dot/norms with only IEEE sqrt/divide at the end;
+    # keep rule compares 6-rounded values (bit-identical cross-engine).
+    o["semantic_dedup"] = (
+        f"""
+with q as (
+    select vec_id, embedding,
+           [cast(round(x::double * 10000) as bigint) for x in embedding] as qv
+    from embeddings
+),
+c0 as (
+    select cast(row_number() over (order by vec_id) - 1 as int) as cell, qv as cv
+    from q order by vec_id limit 8
+),"""
+        + _assign.format(n=1, m=0, dist=_dist)
+        + ","
+        + _assign.format(n=2, m=1, dist=_dist)
+        + f""",
+af as (
+    select vec_id, embedding, qv, cell from (
+        select x.vec_id, x.embedding, x.qv, c.cell,
+               row_number() over (
+                   partition by x.vec_id
+                   order by {_dist}, c.cell
+               ) as rn
+        from q x cross join c2 c
+    ) where rn = 1
+),
+cs as (
+    select af.vec_id, af.embedding, af.cell,
+           case when list_sum([af.qv[i] * af.qv[i]
+                               for i in generate_series(1, len(af.qv))]) > 0
+                 and list_sum([c.cv[i] * c.cv[i]
+                               for i in generate_series(1, len(c.cv))]) > 0
+           then round(
+               list_sum([af.qv[i] * c.cv[i]
+                         for i in generate_series(1, len(af.qv))])::double
+               / (sqrt(list_sum([af.qv[i] * af.qv[i]
+                                 for i in generate_series(1, len(af.qv))])::double)
+                  * sqrt(list_sum([c.cv[i] * c.cv[i]
+                                   for i in generate_series(1, len(c.cv))])::double)),
+               6)
+           end as centroid_sim
+    from af join c2 c on af.cell = c.cell
+),
+pairs as (
+    select a.vec_id, b.vec_id as other_id,
+           a.centroid_sim as my_sim, b.centroid_sim as other_sim
+    from cs a join cs b on a.cell = b.cell and a.vec_id != b.vec_id
+    where round({cos.format(a='a', b='b')}, 6) >= 0.3
+),
+per as (
+    select vec_id, cast(count(*) as bigint) as n_dups,
+           max(case when other_sim < my_sim
+                      or (other_sim = my_sim and other_id < vec_id)
+                    then 1 else 0 end) as dropped
+    from pairs group by vec_id
+)
+select cs.vec_id, cs.cell, cs.centroid_sim,
+       cast(coalesce(per.n_dups, 0) as bigint) as n_dups,
+       cast(1 - coalesce(per.dropped, 0) as int) as kept
+from cs left join per using (vec_id)
 """
     )
 

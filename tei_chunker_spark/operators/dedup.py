@@ -994,3 +994,112 @@ def incremental_dedup_census(base: DataFrame, new: DataFrame) -> DataFrame:
             F.sum((F.col("gate") == "kept").cast("long")).alias("n_kept"),
         )
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): cluster the embedding
+    space with the trained integer-Lloyd codebook, find within-cluster
+    pairs above a cosine threshold, and KEEP exactly the docs that are a
+    local minimum of centroid similarity among their near-dup
+    neighborhood (the paper's keep-the-farthest-from-centroid rule —
+    prototypical near-dups are dropped, the most peripheral/informative
+    variant survives; ties broken to the smaller vec_id).
+
+    Deterministic local rule, no connected components: a vector is
+    dropped iff SOME neighbor (cos >= threshold, same cell) has strictly
+    lower centroid similarity, or equal similarity and a smaller id.
+    Every comparison uses values ROUNDED to 6 places, so the keep
+    decision is bit-identical cross-engine; centroid similarity itself is
+    exact-integer dot/norms in the quantized domain with only IEEE sqrt /
+    divide at the end (both correctly rounded by IEEE 754 — unlike libm
+    ln, which the engine family deliberately never uses).
+
+    Scale shape: codebook is k collect()ed centroid rows (same as every
+    IVF op here); assignment is a narrow broadcast map; the quadratic
+    verify is bounded per cell; the keep rule is one hash agg over the
+    pair table.  Output one row per vector: (vec_id, cell, centroid_sim,
+    n_dups, kept)."""
+    from .kmeans import _cents_literal, _with_cell, quantized, train_ivf_centroids
+
+    cents = train_ivf_centroids(embeddings, n_cells=n_cells, iters=iters)
+    q = embeddings.select("vec_id", "embedding", quantized("embedding").alias("qv"))
+    cells = _with_cell(q, cents)
+    # integer dot/norms behind a generator barrier (one eval per row, not
+    # one per downstream reference — see _tokens_materialized)
+    stats = (
+        f"named_struct("
+        f"'dot', aggregate(zip_with(qv, cv, (x, y) -> x * y), 0L, (a, v) -> a + v), "
+        f"'na', aggregate(qv, 0L, (a, v) -> a + v * v), "
+        f"'nb', aggregate(cv, 0L, (a, v) -> a + v * v))"
+    )
+    cs = (
+        cells.withColumn(
+            "cv", F.expr(f"element_at({_cents_literal(cents)}, cell + 1)")
+        )
+        .select(
+            "vec_id",
+            "embedding",
+            "cell",
+            F.explode(F.array(F.expr(stats))).alias("_s"),
+        )
+        .select(
+            "vec_id",
+            "embedding",
+            "cell",
+            F.when(
+                (F.col("_s.na") > 0) & (F.col("_s.nb") > 0),
+                F.round(
+                    F.col("_s.dot").cast("double")
+                    / (
+                        F.sqrt(F.col("_s.na").cast("double"))
+                        * F.sqrt(F.col("_s.nb").cast("double"))
+                    ),
+                    6,
+                ),
+            ).alias("centroid_sim"),
+        )
+    )
+    a = cs.alias("a")
+    b = cs.alias("b")
+    pairs = (
+        a.join(b, F.col("a.cell") == F.col("b.cell"))
+        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+        .filter(
+            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+            >= threshold
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("b.vec_id").alias("other_id"),
+            F.col("a.centroid_sim").alias("my_sim"),
+            F.col("b.centroid_sim").alias("other_sim"),
+        )
+    )
+    per = pairs.groupBy("vec_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dups"),
+        F.max(
+            (
+                (F.col("other_sim") < F.col("my_sim"))
+                | (
+                    (F.col("other_sim") == F.col("my_sim"))
+                    & (F.col("other_id") < F.col("vec_id"))
+                )
+            ).cast("int")
+        ).alias("dropped"),
+    )
+    return (
+        cs.join(per, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            "centroid_sim",
+            F.coalesce("n_dups", F.lit(0).cast("long")).alias("n_dups"),
+            (F.lit(1) - F.coalesce("dropped", F.lit(0))).cast("int").alias("kept"),
+        )
+    )

@@ -472,3 +472,71 @@ def test_lm_score_short_docs_null(spark):
     assert out[1].n_transitions == 0 and out[1].score_ppm is None
     assert out[2].n_transitions == 0 and out[2].score_ppm is None
     assert out[3].n_transitions == 1
+
+
+# --- semantic_dedup ---------------------------------------------------------
+
+
+def _embs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_semantic_dedup_drops_prototypical_keeps_peripheral(spark):
+    """Two near-identical vectors in one cluster: exactly one survives,
+    and per the SemDeDup rule it is the one FARTHER from the centroid
+    (lower centroid_sim).  The lone vector in the other cluster is kept."""
+    from tei_chunker_spark.operators.dedup import semantic_dedup
+
+    emb = _embs(
+        spark,
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.98, 0.05]),
+            (3, [0.0, 1.0]),
+        ],
+    )
+    out = {
+        r.vec_id: r
+        for r in semantic_dedup(emb, threshold=0.95, n_cells=2, iters=2).collect()
+    }
+    assert out[3].kept == 1 and out[3].n_dups == 0
+    assert out[1].n_dups == 1 and out[2].n_dups == 1
+    assert out[1].kept + out[2].kept == 1
+    kept = out[1] if out[1].kept else out[2]
+    dropped = out[2] if out[1].kept else out[1]
+    assert kept.centroid_sim <= dropped.centroid_sim
+
+
+def test_semantic_dedup_identical_vectors_min_id_kept(spark):
+    """Equal centroid similarity ties break to the smaller vec_id."""
+    from tei_chunker_spark.operators.dedup import semantic_dedup
+
+    emb = _embs(
+        spark,
+        [
+            (1, [1.0, 0.0]),
+            (2, [1.0, 0.0]),
+            (3, [0.0, 1.0]),
+        ],
+    )
+    out = {
+        r.vec_id: r
+        for r in semantic_dedup(emb, threshold=0.95, n_cells=2, iters=2).collect()
+    }
+    assert out[1].kept == 1 and out[2].kept == 0
+
+
+def test_semantic_dedup_below_threshold_all_kept(spark):
+    from tei_chunker_spark.operators.dedup import semantic_dedup
+
+    emb = _embs(
+        spark,
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.8, 0.6]),  # cos = 0.8 < 0.95 — same cell maybe, no dup
+            (3, [0.0, 1.0]),
+        ],
+    )
+    out = semantic_dedup(emb, threshold=0.95, n_cells=2, iters=2).collect()
+    assert all(r.kept == 1 for r in out)
+    assert all(r.n_dups == 0 for r in out)
