@@ -375,6 +375,8 @@ _WINDOW_FIRST = [
     "winnow_census",
     "lm_bigram_score",
     "semantic_dedup",
+    "events_funnel",
+    "events_retention",
     # load-bearing long-green fillers (window positions up to 50)
     "extract_spans_pipeline",
     "extract_doc_metrics",
@@ -615,6 +617,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load(spark, sf, "events")
     )
     q["events_sessionize"] = lambda spark, sf: relational.events_sessionize(
+        load(spark, sf, "events")
+    )
+    q["events_funnel"] = lambda spark, sf: relational.events_funnel(
+        load(spark, sf, "events")
+    )
+    q["events_retention"] = lambda spark, sf: relational.events_retention(
         load(spark, sf, "events")
     )
     q["pricing_summary"] = lambda spark, sf: relational.pricing_summary(
@@ -1548,6 +1556,58 @@ select user_id, cast(session_seq as bigint) as session_seq,
        count(*) as n_events, min(ts) as session_start, max(ts) as session_end,
        round(cast(sum(cast(value as decimal(25,10))) as double), 6) as session_value
 from g group by user_id, session_seq
+"""
+
+    # strictly-increasing ordered funnel (t_k = first step-k event AFTER
+    # t_{k-1}); left joins carry the partial-depth users.
+    o["events_funnel"] = """
+with s1 as (
+    select user_id, min(ts) as t1 from events
+    where event_type = 'view' group by user_id
+),
+s2 as (
+    select e.user_id, min(e.ts) as t2 from events e
+    join s1 on e.user_id = s1.user_id
+    where e.event_type = 'click' and e.ts > s1.t1 group by e.user_id
+),
+s3 as (
+    select e.user_id, min(e.ts) as t3 from events e
+    join s2 on e.user_id = s2.user_id
+    where e.event_type = 'purchase' and e.ts > s2.t2 group by e.user_id
+)
+select s1.user_id, s1.t1, s2.t2, s3.t3,
+       cast(1 + (case when s2.t2 is not null then 1 else 0 end)
+              + (case when s3.t3 is not null then 1 else 0 end) as int) as depth
+from s1 left join s2 on s1.user_id = s2.user_id
+        left join s3 on s1.user_id = s3.user_id
+"""
+
+    # weekly cohorts: date_trunc('week') is Monday in BOTH engines;
+    # offset = integer epoch-diff div 604800 (never datediff('week')).
+    o["events_retention"] = """
+with first as (
+    select user_id, cast(date_trunc('week', min(ts)) as timestamp) as cohort_week
+    from events group by user_id
+),
+activity as (
+    select distinct user_id, cast(date_trunc('week', ts) as timestamp) as w
+    from events
+),
+cohort_size as (
+    select cohort_week, cast(count(*) as bigint) as cohort_size
+    from first group by cohort_week
+),
+cells as (
+    select cohort_week, week_offset, cast(count(*) as bigint) as n_active from (
+        select f.cohort_week,
+               (cast(epoch(a.w) as bigint)
+                - cast(epoch(f.cohort_week) as bigint)) // 604800 as week_offset
+        from activity a join first f on a.user_id = f.user_id
+    ) group by cohort_week, week_offset
+)
+select c.cohort_week, c.week_offset, c.n_active, s.cohort_size,
+       round(c.n_active / cast(s.cohort_size as double), 6) as retention
+from cells c join cohort_size s on c.cohort_week = s.cohort_week
 """
 
     o["events_quantiles"] = """

@@ -988,3 +988,93 @@ def corpus_rollup(documents: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def events_funnel(
+    events: DataFrame, steps: tuple[str, ...] = ("view", "click", "purchase")
+) -> DataFrame:
+    """Ordered-funnel analysis: per user, the earliest strictly-increasing
+    completion times of the step sequence (t2 is the first step-2 event
+    AFTER t1, etc. — the standard product-analytics funnel, not mere
+    set-membership).  Output one row per user who reached step 1:
+    (user_id, t1..tN, depth).
+
+    Shape at scale: step k is a filtered scan of the step's events
+    equi-joined to the step-(k-1) survivors on user_id, then a hash agg
+    min — each stage's state is one row per surviving user (map-side
+    partial min), the join key is the natural user partitioning, and
+    depth-k tables only ever shrink.  No per-user ordered window, no
+    collect_list of event history."""
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    cur = (
+        events.filter(F.col("event_type") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    for k, step in enumerate(steps[1:], start=2):
+        nxt = (
+            events.filter(F.col("event_type") == step)
+            .join(cur, "user_id")
+            .filter(F.col("ts") > F.col(f"t{k - 1}"))
+            .groupBy("user_id", *[f"t{i}" for i in range(1, k)])
+            .agg(F.min("ts").alias(f"t{k}"))
+        )
+        cur = cur.join(
+            nxt.select("user_id", f"t{k}"), "user_id", "left"
+        )
+    depth = F.lit(1)
+    for k in range(2, len(steps) + 1):
+        depth = depth + F.col(f"t{k}").isNotNull().cast("int")
+    return cur.select(
+        "user_id",
+        *[f"t{k}" for k in range(1, len(steps) + 1)],
+        depth.cast("int").alias("depth"),
+    )
+
+
+def events_retention(events: DataFrame) -> DataFrame:
+    """Weekly cohort retention: users cohorted by the ISO week of their
+    first event; for each (cohort_week, week_offset) the number of
+    cohort members active that week and the retention ratio.
+
+    Cross-engine date discipline: cohort/activity weeks via
+    ``date_trunc('week', ts)`` (Monday convention in BOTH Spark and
+    DuckDB); the offset is integer epoch-seconds difference div 604800 —
+    never datediff('week', …), whose boundary semantics are
+    engine-defined.
+
+    Shape at scale: first-seen is one hash agg over the event stream
+    (map-side partial min); activity is a distinct on (user, week) — an
+    agg, not a window; the cohort join is user-keyed; the final census
+    is a hash agg on (cohort_week, offset).  All linear, all partial-agg
+    friendly."""
+    first = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        events.select("user_id", F.date_trunc("week", "ts").alias("w"))
+        .distinct()
+    )
+    cohort_size = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    cells = (
+        activity.join(first, "user_id")
+        .select(
+            "cohort_week",
+            F.expr(
+                "(cast(unix_timestamp(w) as bigint)"
+                " - cast(unix_timestamp(cohort_week) as bigint)) div 604800"
+            ).alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
+    return cells.join(cohort_size, "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        F.round(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
+    )

@@ -540,3 +540,92 @@ def test_semantic_dedup_below_threshold_all_kept(spark):
     out = semantic_dedup(emb, threshold=0.95, n_cells=2, iters=2).collect()
     assert all(r.kept == 1 for r in out)
     assert all(r.n_dups == 0 for r in out)
+
+
+# --- events_funnel / events_retention ---------------------------------------
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+
+
+def test_funnel_requires_strict_order(spark):
+    """A user whose click precedes every view has depth 1 — ordered
+    funnel, not set membership."""
+    from datetime import datetime as dt
+
+    from tei_chunker_spark.operators.relational import events_funnel
+
+    ev = _events(
+        spark,
+        [
+            # user 1: view -> click -> purchase (complete)
+            (1, dt(2024, 1, 1, 10), 1, "view"),
+            (2, dt(2024, 1, 1, 11), 1, "click"),
+            (3, dt(2024, 1, 1, 12), 1, "purchase"),
+            # user 2: click BEFORE view — no ordered completion
+            (4, dt(2024, 1, 2, 9), 2, "click"),
+            (5, dt(2024, 1, 2, 10), 2, "view"),
+            (6, dt(2024, 1, 2, 8), 2, "purchase"),
+            # user 3: never viewed — not in output
+            (7, dt(2024, 1, 3, 9), 3, "click"),
+        ],
+    )
+    out = {r.user_id: r for r in events_funnel(ev).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].depth == 3
+    assert out[2].depth == 1 and out[2].t2 is None and out[2].t3 is None
+
+
+def test_funnel_picks_earliest_qualifying_times(spark):
+    """t2 is the FIRST click after t1, not any click; a later purchase
+    before that click does not count."""
+    from datetime import datetime as dt
+
+    from tei_chunker_spark.operators.relational import events_funnel
+
+    ev = _events(
+        spark,
+        [
+            (1, dt(2024, 1, 1, 8), 1, "view"),
+            (2, dt(2024, 1, 1, 9), 1, "purchase"),  # before first click: no
+            (3, dt(2024, 1, 1, 10), 1, "click"),
+            (4, dt(2024, 1, 1, 11), 1, "click"),  # later click ignored
+            (5, dt(2024, 1, 1, 12), 1, "purchase"),
+        ],
+    )
+    r = events_funnel(ev).collect()[0]
+    assert r.t2 == dt(2024, 1, 1, 10)
+    assert r.t3 == dt(2024, 1, 1, 12)
+    assert r.depth == 3
+
+
+def test_retention_offsets_and_ratios(spark):
+    """Two users cohorted in week of Jan 1 2024 (Monday); one returns in
+    week+1 — retention 1.0 at offset 0, 0.5 at offset 1."""
+    from datetime import datetime as dt
+
+    from tei_chunker_spark.operators.relational import events_retention
+
+    ev = _events(
+        spark,
+        [
+            (1, dt(2024, 1, 2, 10), 1, "view"),  # week of Mon Jan 1
+            (2, dt(2024, 1, 3, 10), 2, "view"),
+            (3, dt(2024, 1, 9, 10), 1, "click"),  # week of Mon Jan 8
+        ],
+    )
+    out = {(r.cohort_week, r.week_offset): r for r in events_retention(ev).collect()}
+    cw = dt(2024, 1, 1)
+    assert out[(cw, 0)].n_active == 2 and out[(cw, 0)].retention == 1.0
+    assert out[(cw, 1)].n_active == 1 and out[(cw, 1)].retention == 0.5
+    assert out[(cw, 0)].cohort_size == 2
+
+
+def test_funnel_rejects_short_step_list(spark):
+    from tei_chunker_spark.operators.relational import events_funnel
+
+    with pytest.raises(ValueError):
+        events_funnel(_events(spark, []), steps=("view",))
