@@ -377,6 +377,8 @@ _WINDOW_FIRST = [
     "semantic_dedup",
     "events_funnel",
     "events_retention",
+    "hybrid_rrf",
+    "distinct_kmv",
     # load-bearing long-green fillers (window positions up to 50)
     "extract_spans_pipeline",
     "extract_doc_metrics",
@@ -515,6 +517,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["semantic_dedup"] = lambda spark, sf: dedup.semantic_dedup(
         load(spark, sf, "embeddings"), threshold=0.3
+    )
+    q["hybrid_rrf"] = lambda spark, sf: retrieval.hybrid_rrf_topk(
+        load(spark, sf, "documents"),
+        load(spark, sf, "embeddings"),
+        "hash join vector",
+        query_vec_id=0,
+        k=15,
+        n_candidates=30,
+    )
+    q["distinct_kmv"] = lambda spark, sf: corpusops.distinct_count_kmv(
+        load(spark, sf, "documents"), n=2, k=256
     )
     q["pii_scrub"] = lambda spark, sf: _cast_long(
         textstats.pii_scrub(_docs_with_pii(spark, sf)),
@@ -2260,6 +2273,95 @@ select doc_id, n_terms_matched, score_micro,
 from pd
 order by score_micro desc, doc_id asc
 limit 15
+"""
+
+    # RRF hybrid: bm25 candidate chain verbatim (rank <= 30 == top-30
+    # then rank, under the deterministic tiebreak) + cosine ranking to
+    # query vector 0; the fuse is exact bigint // throughout.
+    o["hybrid_rrf"] = f"""
+with t as (
+    select doc_id, {_TOKENS} as toks,
+           cast(case when regexp_matches(text, '^[ \t\n\x0b\f\r]*$') then 0
+                     else len({_TOKENS}) end as hugeint) as dl
+    from documents
+),
+g as (
+    select cast(count(*) as hugeint) as n_docs,
+           cast(sum(dl) as hugeint) as total_tokens
+    from t
+),
+tf as (
+    select doc_id, term, cast(count(*) as hugeint) as tf
+    from (select doc_id, unnest(toks) as term from t) u
+    where term in ('hash', 'join', 'vector')
+    group by doc_id, term
+),
+dfx as (select term, cast(count(*) as hugeint) as df from tf group by term),
+s as (
+    select tf.doc_id,
+           ((2 * g.n_docs - 2 * dfx.df + 1) * 22000000::hugeint * tf.tf
+            * 1000000::hugeint)
+           // ((2 * dfx.df + 1)
+               * (10000000::hugeint * tf.tf + 3000000::hugeint
+                  + 9::hugeint * ((1000000::hugeint * t2.dl * g.n_docs)
+                                  // g.total_tokens))) as w
+    from tf
+    join dfx using (term)
+    join t t2 using (doc_id)
+    cross join g
+),
+lex as (
+    select doc_id,
+           row_number() over (order by score_micro desc, doc_id) as rank_lex
+    from (select doc_id, cast(sum(w) as bigint) as score_micro
+          from s group by doc_id)
+),
+lex30 as (select doc_id, rank_lex from lex where rank_lex <= 30),
+qv as (select embedding from embeddings where vec_id = 0),
+vc as (
+    select e.vec_id as doc_id,
+           round({cos.format(a='e', b='qv')}, 6) as cos_sim
+    from embeddings e cross join qv where e.vec_id != 0
+),
+vr as (
+    select doc_id,
+           row_number() over (order by cos_sim desc, doc_id) as rank_vec
+    from vc
+),
+vr30 as (select doc_id, rank_vec from vr where rank_vec <= 30),
+f as (
+    select coalesce(l.doc_id, v.doc_id) as doc_id,
+           cast(l.rank_lex as int) as rank_lex,
+           cast(v.rank_vec as int) as rank_vec,
+           coalesce(1000000000::bigint // (60 + l.rank_lex), 0)
+           + coalesce(1000000000::bigint // (60 + v.rank_vec), 0) as rrf_micro
+    from lex30 l full outer join vr30 v on l.doc_id = v.doc_id
+)
+select doc_id, rank_lex, rank_vec, cast(rrf_micro as bigint) as rrf_micro
+from f order by rrf_micro desc, doc_id limit 15
+"""
+
+    # KMV bottom-k cardinality sketch over word bigrams: every
+    # intermediate deterministic (unlike HLL, whose hash family differs
+    # per engine); 48-bit hash = 12 hex chars of md5.
+    o["distinct_kmv"] = f"""
+with tok as (select {_TOKENS} as t from documents),
+gr as (
+    select unnest([t[i] || ' ' || t[i+1]
+                   for i in generate_series(1, greatest(len(t) - 1, 0))]) as gram
+    from tok
+),
+h as (
+    select distinct ('0x' || substr(md5(gram), 1, 12))::bigint as h
+    from gr where gram != ''
+),
+sk as (select h from h order by h limit 256),
+a as (select cast(count(*) as bigint) as n_sketch, max(h) as kth_hash from sk)
+select cast(256 as int) as k, n_sketch, kth_hash,
+       case when n_sketch < 256 then n_sketch
+            else (255::bigint * 281474976710656::bigint) // kth_hash
+       end as est_distinct
+from a
 """
 
     # batched BM25: same integer weight, per-query row_number top-k; the

@@ -1193,3 +1193,63 @@ def lm_bigram_score(documents: DataFrame) -> DataFrame:
             F.col("score_ppm"),
         )
     )
+
+
+def distinct_count_kmv(
+    documents: DataFrame, n: int = 2, k: int = 256
+) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch over the corpus word
+    n-gram vocabulary (Bar-Yossef et al. 2002; the bottom-k sketch): hash
+    every distinct n-gram to a 48-bit integer (first 12 hex chars of
+    md5), keep the k smallest, and estimate |vocab| = (k-1)·2^48 div
+    h_(k).  N-gram cardinality is the real pipeline question this
+    answers at 100 TB — e.g. sizing the BPE candidate table or a
+    shingle posting index before paying for the exact build.
+
+    Why KMV and not HyperLogLog here: approx_count_distinct's HLL++ and
+    DuckDB's approx_count_distinct use DIFFERENT hash families — the
+    estimates can never agree, so the op would be un-oracle-able.  KMV
+    over the md5 domain is a published estimator whose every intermediate
+    is deterministic and engine-portable: the k-th minimum is a plain
+    ORDER BY/LIMIT, the estimate one exact bigint quotient.  The sketch
+    is also the mergeable form (union of bottom-k sets, re-truncate) —
+    the partial-aggregate story a 100 TB scan needs.
+
+    Scale shape: the explode feeds a DISTINCT hash agg whose output is
+    the Heaps-law-bounded vocabulary (same collapse argument as
+    bpe_merge_candidates), then TakeOrderedAndProject keeps k rows.
+    Degenerate corpora with |vocab| < k are exact: the sketch holds the
+    whole vocabulary, and the estimate is its size (standard KMV rule).
+    Output ONE row: (k, n_sketch, kth_hash, est_distinct)."""
+    # blank docs tokenize to [''] whose 1-gram would be a phantom; the
+    # word_ngrams too-short guard plus the '' filter covers n == 1 too
+    tok = (
+        documents.select(
+            F.explode(word_ngrams(tokens(F.col("text")), n)).alias("gram")
+        )
+        .filter(F.col("gram") != "")
+        .select(
+            F.conv(F.substring(F.md5("gram"), 1, 12), 16, 10)
+            .cast("long")
+            .alias("h")
+        )
+        .distinct()
+    )
+    sketch = tok.orderBy("h").limit(k)
+    return sketch.agg(
+        F.lit(k).cast("int").alias("k"),
+        F.count(F.lit(1)).cast("long").alias("n_sketch"),
+        F.max("h").alias("kth_hash"),
+    ).select(
+        "k",
+        "n_sketch",
+        "kth_hash",
+        F.when(F.col("n_sketch") < k, F.col("n_sketch"))
+        .otherwise(
+            F.expr(
+                f"(cast({k - 1} as bigint) * cast(281474976710656 as bigint))"
+                " div kth_hash"
+            )
+        )
+        .alias("est_distinct"),
+    )

@@ -241,3 +241,77 @@ def bm25_topk_batch(
         "score_micro",
         F.round(F.col("score_micro") / SCALE, 6).alias("bm25"),
     )
+
+
+def hybrid_rrf_topk(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    query: str,
+    query_vec_id: int = 0,
+    k: int = 15,
+    n_candidates: int = 30,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Hybrid lexical+vector retrieval fused by Reciprocal Rank Fusion
+    (Cormack/Clarke/Buettcher, SIGIR 2009 — the fusion modern RAG stacks
+    default to): take the top ``n_candidates`` docs from exact-integer
+    BM25 and from cosine similarity to a query vector, then score every
+    candidate as Σ 10^9 div (rrf_k + rank) over the rankings that
+    contain it.  The quotient is EXACT bigint division (== DuckDB ``//``)
+    — RRF's 1/(k+r) is rational, so unlike score-interpolation fusions
+    it needs no floats at all.
+
+    Ranks are deterministic: (score desc, doc_id asc) on the lexical
+    side, (cos_sim-rounded-6 desc, doc_id asc) on the vector side —
+    both engines rank candidates identically.  The two rank windows run
+    over ``n_candidates``-bounded tables (TakeOrderedAndProject feeds
+    them), so the unpartitioned window is k-rows, never corpus-rows; the
+    fuse is one full-outer join of two k-row tables.  At scale both
+    candidate generators are the existing distributed top-k shapes
+    (bm25_topk; brute-force/IVF cosine)."""
+    from pyspark.sql import Window
+
+    from ..functions.columns import cosine
+
+    lex = bm25_topk(documents, query, k=n_candidates).select(
+        "doc_id", "score_micro"
+    )
+    w_lex = Window.orderBy(F.col("score_micro").desc(), F.col("doc_id"))
+    lex_r = lex.select(
+        "doc_id", F.row_number().over(w_lex).cast("int").alias("rank_lex")
+    )
+    qv = embeddings.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_emb")
+    )
+    cand = (
+        embeddings.filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("embedding"), F.col("q_emb")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("doc_id"))
+        .limit(n_candidates)
+    )
+    w_vec = Window.orderBy(F.col("cos_sim").desc(), F.col("doc_id"))
+    vec_r = cand.select(
+        "doc_id", F.row_number().over(w_vec).cast("int").alias("rank_vec")
+    )
+    fused = lex_r.join(vec_r, "doc_id", "full_outer").select(
+        "doc_id",
+        "rank_lex",
+        "rank_vec",
+        (
+            F.coalesce(
+                F.expr(f"cast(1000000000 as bigint) div ({rrf_k} + rank_lex)"),
+                F.lit(0).cast("long"),
+            )
+            + F.coalesce(
+                F.expr(f"cast(1000000000 as bigint) div ({rrf_k} + rank_vec)"),
+                F.lit(0).cast("long"),
+            )
+        ).alias("rrf_micro"),
+    )
+    return fused.orderBy(F.col("rrf_micro").desc(), F.col("doc_id")).limit(k)

@@ -629,3 +629,67 @@ def test_funnel_rejects_short_step_list(spark):
 
     with pytest.raises(ValueError):
         events_funnel(_events(spark, []), steps=("view",))
+
+
+# --- hybrid_rrf_topk / distinct_count_kmv -----------------------------------
+
+
+def test_rrf_rewards_presence_in_both_rankings(spark):
+    """A doc ranked mid in BOTH lists outscores docs that top one list
+    but miss the other: 1/(60+r_a) + 1/(60+r_b) > 1/(60+1)."""
+    from tei_chunker_spark.operators.retrieval import hybrid_rrf_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = hybrid_rrf_topk(
+        docs, emb, "hash join vector", query_vec_id=0, k=10
+    ).collect()
+    both = [r for r in rows if r.rank_lex is not None and r.rank_vec is not None]
+    single = [r for r in rows if r.rank_lex is None or r.rank_vec is None]
+    if both and single:
+        assert max(r.rrf_micro for r in both) > max(
+            r.rrf_micro for r in single
+        )
+    # exact rational scores: 10^9 div (60 + rank) summed
+    for r in rows:
+        expect = 0
+        if r.rank_lex is not None:
+            expect += 10**9 // (60 + r.rank_lex)
+        if r.rank_vec is not None:
+            expect += 10**9 // (60 + r.rank_vec)
+        assert r.rrf_micro == expect
+    # output ordered by (rrf desc, doc_id)
+    keys = [(-r.rrf_micro, r.doc_id) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_kmv_exact_below_k_and_estimates_above(spark):
+    from tei_chunker_spark.operators.corpusops import distinct_count_kmv
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # unigram vocab is 31 < k: the sketch IS the vocabulary — exact
+    r1 = distinct_count_kmv(docs, n=1, k=64).collect()[0]
+    assert r1.n_sketch == 31 and r1.est_distinct == 31
+    # bigram vocab >> k: estimator branch; standard error ~ 1/sqrt(k)
+    r2 = distinct_count_kmv(docs, n=2, k=128).collect()[0]
+    assert r2.n_sketch == 128
+    from pyspark.sql import functions as F
+
+    from tei_chunker_spark.functions.columns import tokens, word_ngrams
+
+    exact = (
+        docs.select(F.explode(word_ngrams(tokens(F.col("text")), 2)).alias("g"))
+        .filter(F.col("g") != "")
+        .distinct()
+        .count()
+    )
+    assert abs(r2.est_distinct - exact) / exact < 0.35  # ~4 sigma at k=128
+
+
+def test_kmv_deterministic(spark):
+    from tei_chunker_spark.operators.corpusops import distinct_count_kmv
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = distinct_count_kmv(docs, n=2, k=128).collect()[0]
+    b = distinct_count_kmv(docs, n=2, k=128).collect()[0]
+    assert a == b
