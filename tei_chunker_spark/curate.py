@@ -15,16 +15,21 @@ them):
    full-corpus count() action runs;
 2. quality floor — textstats.doc_quality composite >= --quality-min
    (NULL-scored degenerate docs fail);
-3. decontamination — corpusops.contamination_stats trigram overlap vs
+3. fluency floor (opt-in, --fluency-min-ppm) — corpusops.lm_bigram_score
+   Laplace-smoothed bigram-LM score over the surviving corpus >= the
+   floor; NULL-scored (<2-token) docs fail like the quality gate's
+   degenerates.  The LM is trained on the post-quality survivors
+   themselves — the standard self-scoring outlier filter;
+4. decontamination — corpusops.contamination_stats trigram overlap vs
    the --eval set <= --contamination-max;
-4. sequence packing — dispatched on the doc_id column type:
+5. sequence packing — dispatched on the doc_id column type:
    integral ids use corpusops.seq_pack (doc_id-range buckets);
    anything else uses corpusops.seq_pack_by_hash — the north-rule
    input table has ``doc_id: string``, and seq_pack's
    ``doc_id div 64`` bucketing would cast a non-numeric string to
    NULL, collapsing EVERY document into one window task (round-5
    verdict item 3);
-5. write survivors + packing columns as parquet, plus a one-row JSON
+6. write survivors + packing columns as parquet, plus a one-row JSON
    census next to it — written through the Hadoop FileSystem API so an
    hdfs:// or s3a:// --output works the same as a local path (a local
    ``open()`` would crash after the full job has run; round-5 verdict
@@ -44,7 +49,12 @@ import json
 from pyspark.sql import functions as F
 from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
-from .operators.corpusops import contamination_stats, seq_pack, seq_pack_by_hash
+from .operators.corpusops import (
+    contamination_stats,
+    lm_bigram_score,
+    seq_pack,
+    seq_pack_by_hash,
+)
 from .operators.textstats import doc_quality
 from .sources.session import get_spark
 
@@ -79,6 +89,7 @@ def curate(
     quality_min: float = 0.5,
     contamination_max: float = 0.2,
     budget: int = 256,
+    fluency_min_ppm: int | None = None,
 ):
     """Run the funnel; returns (packed_survivors_df, census_dict).
 
@@ -106,6 +117,17 @@ def curate(
         .localCheckpoint(eager=True)
     )
     g2 = g1.join(keep2, "doc_id", "left_semi")
+    keep_fluency = None
+    if fluency_min_ppm is not None:
+        # LM trained on the post-quality survivors themselves (the
+        # self-scoring outlier setup); >= drops NULL-scored short docs
+        keep_fluency = (
+            lm_bigram_score(g2)
+            .filter(F.col("score_ppm") >= fluency_min_ppm)
+            .select("doc_id")
+            .localCheckpoint(eager=True)
+        )
+        g2 = g2.join(keep_fluency, "doc_id", "left_semi")
     keep3 = (
         contamination_stats(g2, eval_docs, n=3)
         .filter(
@@ -123,8 +145,10 @@ def curate(
         "input": int(c1["n_input"]),
         "after_exact_dedup": int(c1["n_kept"]),
         "after_quality": keep2.count(),
-        "after_decontamination": keep3.count(),
     }
+    if keep_fluency is not None:
+        census["after_fluency"] = keep_fluency.count()
+    census["after_decontamination"] = keep3.count()
     return packed, census
 
 
@@ -136,6 +160,12 @@ def main(argv=None) -> None:
     ap.add_argument("--quality-min", type=float, default=0.5)
     ap.add_argument("--contamination-max", type=float, default=0.2)
     ap.add_argument("--budget", type=int, default=256)
+    ap.add_argument(
+        "--fluency-min-ppm",
+        type=int,
+        default=None,
+        help="opt-in bigram-LM fluency floor (score_ppm); off by default",
+    )
     args = ap.parse_args(argv)
 
     spark = get_spark("tei-curate")
@@ -148,6 +178,7 @@ def main(argv=None) -> None:
         quality_min=args.quality_min,
         contamination_max=args.contamination_max,
         budget=args.budget,
+        fluency_min_ppm=args.fluency_min_ppm,
     )
     packed.withColumn(
         "pack_bucket", F.expr("first_pack div 1024")

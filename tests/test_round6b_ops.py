@@ -693,3 +693,100 @@ def test_kmv_deterministic(spark):
     a = distinct_count_kmv(docs, n=2, k=128).collect()[0]
     b = distinct_count_kmv(docs, n=2, k=128).collect()[0]
     assert a == b
+
+
+# --- plan guards for the round-6b operator family ---------------------------
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_semantic_dedup_plan_no_cartesian(spark):
+    """The within-cell verify is an equi-join on cell; never NLJ over
+    vectors (the 1-row centroid literal is a projection, not a join)."""
+    from tei_chunker_spark.operators.dedup import semantic_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _plan(semantic_dedup(emb, threshold=0.3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_funnel_plan_all_hash_joins(spark):
+    from tei_chunker_spark.operators.relational import events_funnel
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = _plan(events_funnel(ev))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # every step join is a user_id equi-join
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_kmv_plan_is_take_ordered(spark):
+    """The bottom-k never compiles to a full global Sort: the distinct
+    vocab table feeds TakeOrderedAndProject."""
+    from tei_chunker_spark.operators.corpusops import distinct_count_kmv
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(distinct_count_kmv(docs, n=2, k=64))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_containment_plan_no_cartesian(spark):
+    from tei_chunker_spark.operators.dedup import containment_pairs, shingle_table
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(
+        containment_pairs(shingle_table(docs, 2), threshold=0.9, max_shingle_df=20)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lm_score_single_tokenize_pass(spark):
+    """The per-doc bigram table is checkpointed: global/context counts
+    derive from it, so the corpus parquet is scanned at most twice (once
+    for transitions, once for the doc spine) — never once per count
+    table."""
+    from tei_chunker_spark.operators.corpusops import lm_bigram_score
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(lm_bigram_score(docs))
+    assert plan.count("Scan parquet") <= 2
+
+
+# --- curate fluency gate ------------------------------------------------------
+
+
+def test_curate_fluency_gate_drops_gibberish(spark):
+    """With --fluency-min-ppm the funnel gains an after_fluency census
+    gate that drops one-off-transition docs while frequent-transition
+    docs survive; off by default (census key absent)."""
+    from tei_chunker_spark.curate import curate
+
+    rows = [(i, "the cat sat on the mat and then the cat sat on the mat again ok")
+            for i in range(20)]
+    rows.append((99, "zq xv bn mk lp rs tu wy az bq cr ds et fu gv hw"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    eval_docs = spark.createDataFrame(
+        [(1000, "nothing shared here at all")], "doc_id long, text string"
+    )
+    # default: no fluency gate, no census key
+    _, census_off = curate(spark, docs, eval_docs, quality_min=0.0)
+    assert "after_fluency" not in census_off
+    # the gate trains the LM on the POST-DEDUP survivors (docs 0 and 99
+    # — the 20 copies collapse first), so compute the floor there
+    from tei_chunker_spark.operators.corpusops import lm_bigram_score
+
+    survivors = docs.filter(F.col("doc_id").isin(0, 99))
+    scores = {r.doc_id: r.score_ppm for r in lm_bigram_score(survivors).collect()}
+    floor = (scores[0] + scores[99]) // 2
+    assert scores[0] > floor > scores[99]
+    packed, census_on = curate(
+        spark, docs, eval_docs, quality_min=0.0, fluency_min_ppm=floor
+    )
+    assert census_on["after_fluency"] == 1  # 20 dups collapse to 1 fluent doc
+    kept_ids = {r.doc_id for r in packed.collect()}
+    assert 99 not in kept_ids
