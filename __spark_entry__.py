@@ -379,6 +379,8 @@ _WINDOW_FIRST = [
     "events_retention",
     "hybrid_rrf",
     "distinct_kmv",
+    "ngram_novelty",
+    "source_overlap",
     # load-bearing long-green fillers (window positions up to 50)
     "extract_spans_pipeline",
     "extract_doc_metrics",
@@ -528,6 +530,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["distinct_kmv"] = lambda spark, sf: corpusops.distinct_count_kmv(
         load(spark, sf, "documents"), n=2, k=256
+    )
+    q["ngram_novelty"] = lambda spark, sf: corpusops.doc_ngram_novelty(
+        _docs_with_near_dups(spark, sf), n=3
+    )
+    q["source_overlap"] = lambda spark, sf: corpusops.source_overlap_matrix(
+        load(spark, sf, "documents"), n=3
     )
     q["pii_scrub"] = lambda spark, sf: _cast_long(
         textstats.pii_scrub(_docs_with_pii(spark, sf)),
@@ -2362,6 +2370,60 @@ select cast(256 as int) as k, n_sketch, kth_hash,
             else (255::bigint * 281474976710656::bigint) // kth_hash
        end as est_distinct
 from a
+"""
+
+    _tri = (
+        "[t[i] || ' ' || t[i+1] || ' ' || t[i+2]"
+        " for i in generate_series(1, greatest(len(t) - 2, 0))]"
+    )
+    # first-occurrence novelty: gram owner = min doc_id; two hash aggs +
+    # one equi-join, mirrored exactly.
+    o["ngram_novelty"] = f"""
+with docs_aug as ({_NEAR_AUG_SQL}),
+tok as (select doc_id, {_TOKENS} as t from docs_aug),
+g as (
+    select distinct doc_id, gram from (
+        select doc_id, unnest({_tri}) as gram from tok
+    ) where gram != ''
+),
+f as (select gram, min(doc_id) as first_doc from g group by gram),
+per as (
+    select g.doc_id, cast(count(*) as bigint) as n_grams,
+           cast(sum(case when f.first_doc = g.doc_id then 1 else 0 end)
+                as bigint) as n_novel
+    from g join f using (gram) group by g.doc_id
+)
+select d.doc_id,
+       cast(coalesce(per.n_grams, 0) as bigint) as n_grams,
+       cast(coalesce(per.n_novel, 0) as bigint) as n_novel,
+       case when per.n_grams > 0
+            then round(per.n_novel / cast(per.n_grams as double), 6)
+       end as novelty
+from (select doc_id from docs_aug) d left join per using (doc_id)
+"""
+
+    # source-level n-gram Jaccard; NULL-source slices kept (IS NOT
+    # DISTINCT FROM == Spark eqNullSafe).
+    o["source_overlap"] = f"""
+with tok as (select source, {_TOKENS} as t from documents),
+sg as (
+    select distinct source, gram from (
+        select source, unnest({_tri}) as gram from tok
+    ) where gram != ''
+),
+sizes as (select source, count(*) as set_size from sg group by source),
+inter as (
+    select a.source as src_a, b.source as src_b, count(*) as inter
+    from sg a join sg b on a.gram = b.gram
+    where coalesce(a.source, chr(1)) < coalesce(b.source, chr(1))
+    group by a.source, b.source
+)
+select i.src_a, i.src_b, cast(i.inter as bigint) as n_shared_grams,
+       round(i.inter / cast(sa.set_size + sb.set_size - i.inter as double), 6)
+         as jaccard
+from inter i
+join sizes sa on i.src_a is not distinct from sa.source
+join sizes sb on i.src_b is not distinct from sb.source
 """
 
     # batched BM25: same integer weight, per-query row_number top-k; the

@@ -1253,3 +1253,128 @@ def distinct_count_kmv(
         )
         .alias("est_distinct"),
     )
+
+
+def doc_ngram_novelty(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Per-document n-gram NOVELTY against everything ingested before it
+    (doc_id order = ingest order): the fraction of a doc's distinct
+    n-grams whose corpus-wide first occurrence is this doc.  The curve of
+    novelty over ingest order is how crawl pipelines decide when another
+    increment of a source stops paying for itself (diminishing novel
+    content), and per-doc it is a strong boilerplate/copy signal that
+    needs no pairwise comparison at all.
+
+    First-occurrence attribution: a gram's owner is min(doc_id) over the
+    docs containing it; ties inside one doc don't matter (distinct grams
+    per doc).  Two hash aggregations end to end — (gram → first doc) and
+    (doc → counts) — plus one equi-join of the doc's gram postings to the
+    first-owner table.  No window, no ordering, no pair join: novelty of
+    10^12 docs costs the same shape as a document-frequency count.
+    Blank/short docs have zero grams: n_grams = 0, novelty NULL."""
+    g = (
+        documents.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(word_ngrams(tokens(F.col("text")), n))
+            ).alias("gram"),
+        )
+        .filter(F.col("gram") != "")
+    )
+    first = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        g.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).alias(
+                "n_novel"
+            ),
+        )
+    )
+    return (
+        documents.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0).cast("long")).alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0).cast("long")).alias("n_novel"),
+            F.when(
+                F.col("n_grams").isNotNull() & (F.col("n_grams") > 0),
+                F.round(F.col("n_novel") / F.col("n_grams"), 6),
+            ).alias("novelty"),
+        )
+    )
+
+
+def source_overlap_matrix(
+    documents: DataFrame, n: int = 3, max_gram_sources: int = None
+) -> DataFrame:
+    """Pairwise n-gram Jaccard between SOURCES (the mixture-planning
+    view): which feeds are near-copies of each other, so a sampling
+    budget isn't spent twice on the same content.  Operates on the
+    distinct (source, gram) table — corpus size drops out entirely; the
+    pair join runs over source-level postings whose fan-in is bounded by
+    n_sources, and the output is the n_sources² census, small by
+    construction.
+
+    ``max_gram_sources`` optionally drops grams present in more than
+    that many sources before pairing (the universal-boilerplate
+    guillotine, same role as jaccard_pairs' df cap — sizes count ALL
+    grams so the per-pair Jaccard stays comparable).  NULL source is a
+    real slice and kept (eqNullSafe pair join keys)."""
+    sg = (
+        documents.select(
+            "source",
+            F.explode(
+                F.array_distinct(word_ngrams(tokens(F.col("text")), n))
+            ).alias("gram"),
+        )
+        .filter(F.col("gram") != "")
+        .distinct()
+    )
+    if max_gram_sources is not None:
+        keep = (
+            sg.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("sdf"))
+            .filter(F.col("sdf") <= max_gram_sources)
+            .select("gram")
+        )
+        joinable = sg.join(keep, "gram")
+    else:
+        joinable = sg
+    sizes = sg.groupBy("source").agg(F.count(F.lit(1)).alias("set_size"))
+    a = joinable.alias("a")
+    b = joinable.alias("b")
+    inter = (
+        a.join(b, on=(F.col("a.gram") == F.col("b.gram")))
+        .filter(
+            F.coalesce(F.col("a.source"), F.lit("\x01"))
+            < F.coalesce(F.col("b.source"), F.lit("\x01"))
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("src_a"), F.col("set_size").alias("a_size")
+    )
+    sb = sizes.select(
+        F.col("source").alias("src_b"), F.col("set_size").alias("b_size")
+    )
+    return (
+        inter.join(sa, inter["src_a"].eqNullSafe(sa["src_a"]))
+        .drop(sa["src_a"])
+        .join(sb, inter["src_b"].eqNullSafe(sb["src_b"]))
+        .drop(sb["src_b"])
+        .select(
+            "src_a",
+            "src_b",
+            F.col("inter").cast("long").alias("n_shared_grams"),
+            F.round(
+                F.col("inter")
+                / (F.col("a_size") + F.col("b_size") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

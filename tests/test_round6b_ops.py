@@ -790,3 +790,62 @@ def test_curate_fluency_gate_drops_gibberish(spark):
     assert census_on["after_fluency"] == 1  # 20 dups collapse to 1 fluent doc
     kept_ids = {r.doc_id for r in packed.collect()}
     assert 99 not in kept_ids
+
+
+# --- doc_ngram_novelty / source_overlap_matrix ------------------------------
+
+
+def test_novelty_first_owner_wins(spark):
+    """A later doc repeating an earlier doc's grams has zero novelty;
+    the first doc owns them all."""
+    from tei_chunker_spark.operators.corpusops import doc_ngram_novelty
+
+    docs = _docs(
+        spark,
+        [
+            (1, "a b c d e"),
+            (2, "a b c d e"),           # full copy: novelty 0
+            (3, "a b c x y z"),         # shares gram 'a b c' only
+        ],
+    )
+    out = {r.doc_id: r for r in doc_ngram_novelty(docs, n=3).collect()}
+    assert out[1].novelty == 1.0 and out[1].n_grams == 3
+    assert out[2].novelty == 0.0 and out[2].n_novel == 0
+    # doc 3: grams {a b c, b c x, c x y, x y z}; 'a b c' owned by doc 1
+    assert out[3].n_grams == 4 and out[3].n_novel == 3
+    assert out[3].novelty == 0.75
+
+
+def test_novelty_short_docs_null(spark):
+    from tei_chunker_spark.operators.corpusops import doc_ngram_novelty
+
+    docs = _docs(spark, [(1, "a b"), (2, "   ")])
+    out = {r.doc_id: r for r in doc_ngram_novelty(docs, n=3).collect()}
+    assert out[1].n_grams == 0 and out[1].novelty is None
+    assert out[2].n_grams == 0 and out[2].novelty is None
+
+
+def test_source_overlap_detects_copied_feed(spark):
+    from tei_chunker_spark.operators.corpusops import source_overlap_matrix
+
+    rows = [
+        (1, "a b c d e f", "s1"),
+        (2, "a b c d e f", "s2"),       # s2 copies s1 verbatim
+        (3, "q r s t u v", "s3"),       # disjoint
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {(r.src_a, r.src_b): r for r in source_overlap_matrix(docs, n=3).collect()}
+    assert out[("s1", "s2")].jaccard == 1.0
+    assert ("s1", "s3") not in out and ("s2", "s3") not in out  # no shared gram
+
+
+def test_source_overlap_null_source_kept(spark):
+    from tei_chunker_spark.operators.corpusops import source_overlap_matrix
+
+    rows = [(1, "a b c d", "s1"), (2, "a b c d", None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = source_overlap_matrix(docs, n=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.jaccard == 1.0
+    assert {r.src_a, r.src_b} == {"s1", None}
