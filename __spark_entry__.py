@@ -381,6 +381,7 @@ _WINDOW_FIRST = [
     "distinct_kmv",
     "ngram_novelty",
     "source_overlap",
+    "events_hopping",
     # load-bearing long-green fillers (window positions up to 50)
     "extract_spans_pipeline",
     "extract_doc_metrics",
@@ -645,6 +646,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["events_retention"] = lambda spark, sf: relational.events_retention(
         load(spark, sf, "events")
+    )
+    q["events_hopping"] = lambda spark, sf: relational.events_hopping_census(
+        load(spark, sf, "events"), width_seconds=600, slide_seconds=300
     )
     q["pricing_summary"] = lambda spark, sf: relational.pricing_summary(
         load(spark, sf, "lineitem")
@@ -1629,6 +1633,28 @@ cells as (
 select c.cohort_week, c.week_offset, c.n_active, s.cohort_size,
        round(c.n_active / cast(s.cohort_size as double), 6) as retention
 from cells c join cohort_size s on c.cohort_week = s.cohort_week
+"""
+
+    # hopping windows (600s width, 300s slide → 2 starts per event):
+    # floor(epoch) both sides (Spark unix_timestamp truncates; DuckDB
+    # epoch keeps micros — a bare bigint cast would ROUND); naive-UTC
+    # timestamps via make_timestamp (to_timestamp is TIMESTAMPTZ).
+    o["events_hopping"] = """
+with e as (
+    select event_type, cast(value as decimal(25,10)) as v,
+           cast(floor(epoch(ts)) as bigint) as es
+    from events
+),
+hopped as (
+    select event_type, v, ((es // 300) - i) * 300 as ws
+    from e, unnest(generate_series(0, 1)) as g(i)
+    where es >= 0
+)
+select make_timestamp(ws * 1000000) as window_start, event_type,
+       cast(count(*) as bigint) as n_events,
+       round(cast(sum(v) as double), 6) as value_sum
+from hopped where ws >= 0
+group by ws, event_type
 """
 
     o["events_quantiles"] = """

@@ -1078,3 +1078,60 @@ def events_retention(events: DataFrame) -> DataFrame:
         "cohort_size",
         F.round(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
     )
+
+
+def events_hopping_census(
+    events: DataFrame, width_seconds: int = 600, slide_seconds: int = 300
+) -> DataFrame:
+    """Batch HOPPING-window census: per (window_start, event_type), the
+    event count and exact decimal value sum, with windows of
+    ``width_seconds`` sliding every ``slide_seconds`` — each event lands
+    in width/slide overlapping windows.  The batch twin of the streaming
+    tumbling/window aggregations (streaming/stream.py), filling the
+    overlapping-window slot in the aggregation inventory.
+
+    Implemented by the arithmetic fan-out Spark's own ``window()`` uses
+    internally — explode the (width div slide) window starts each event
+    covers, then ONE hash aggregation — but with integer epoch-second
+    arithmetic end to end instead of the builtin's struct column, so the
+    DuckDB oracle reproduces boundaries exactly (floor-div on
+    NON-NEGATIVE epoch seconds only; events predate 1970 would need the
+    div-vs-truncation care seq_pack documents).  The fan-out factor is
+    the constant width/slide: linear work, map-side partials, no window
+    functions at all."""
+    if width_seconds % slide_seconds != 0:
+        raise ValueError("width_seconds must be a multiple of slide_seconds")
+    n_hops = width_seconds // slide_seconds
+    e = events.select(
+        "event_type",
+        F.col("value").cast("decimal(25,10)").alias("v"),
+        F.expr("cast(unix_timestamp(ts) as bigint)").alias("es"),
+    )
+    hopped = e.select(
+        "event_type",
+        "v",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {n_hops - 1}),"
+                f" i -> ((es div {slide_seconds}) - i) * {slide_seconds})"
+            )
+        ).alias("ws"),
+    ).filter(F.col("es") >= 0)
+    # an event belongs to window [ws, ws+width): the construction
+    # guarantees ws <= es; drop the starts where es >= ws + width is
+    # impossible by construction, so no post-filter is needed — but keep
+    # ws >= 0 so the first partial windows match the oracle's domain
+    out = (
+        hopped.filter(F.col("ws") >= 0)
+        .groupBy("ws", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("v").cast("double"), 6).alias("value_sum"),
+        )
+    )
+    return out.select(
+        F.timestamp_seconds(F.col("ws")).alias("window_start"),
+        "event_type",
+        "n_events",
+        "value_sum",
+    )

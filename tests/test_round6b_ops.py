@@ -849,3 +849,43 @@ def test_source_overlap_null_source_kept(spark):
     r = out[0]
     assert r.jaccard == 1.0
     assert {r.src_a, r.src_b} == {"s1", None}
+
+
+# --- events_hopping_census --------------------------------------------------
+
+
+def test_hopping_event_lands_in_width_over_slide_windows(spark):
+    """width 600 / slide 300: every event appears in exactly 2 windows,
+    whose starts bracket it."""
+    from datetime import datetime as dt
+
+    from tei_chunker_spark.operators.relational import events_hopping_census
+
+    ev = spark.createDataFrame(
+        [(1, dt(2024, 1, 1, 0, 7, 30), 1, "view", 2.0)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    rows = events_hopping_census(ev, 600, 300).collect()
+    starts = sorted(r.window_start for r in rows)
+    assert starts == [dt(2024, 1, 1, 0, 0), dt(2024, 1, 1, 0, 5)]
+    assert all(r.n_events == 1 and r.value_sum == 2.0 for r in rows)
+
+
+def test_hopping_counts_sum_to_events_times_hops(spark):
+    from pyspark.sql import functions as F
+
+    from tei_chunker_spark.operators.relational import events_hopping_census
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    total = events_hopping_census(ev, 600, 300).agg(F.sum("n_events")).first()[0]
+    assert total == ev.count() * 2
+
+
+def test_hopping_rejects_nonmultiple_slide(spark):
+    from tei_chunker_spark.operators.relational import events_hopping_census
+
+    ev = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    with pytest.raises(ValueError):
+        events_hopping_census(ev, 600, 250)
