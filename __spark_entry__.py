@@ -382,6 +382,7 @@ _WINDOW_FIRST = [
     "ngram_novelty",
     "source_overlap",
     "events_hopping",
+    "events_gap_fill",
     # load-bearing long-green fillers (window positions up to 50)
     "extract_spans_pipeline",
     "extract_doc_metrics",
@@ -649,6 +650,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["events_hopping"] = lambda spark, sf: relational.events_hopping_census(
         load(spark, sf, "events"), width_seconds=600, slide_seconds=300
+    )
+    q["events_gap_fill"] = lambda spark, sf: relational.events_gap_fill(
+        load(spark, sf, "events"), step_seconds=3600
     )
     q["pricing_summary"] = lambda spark, sf: relational.pricing_summary(
         load(spark, sf, "lineitem")
@@ -1655,6 +1659,38 @@ select make_timestamp(ws * 1000000) as window_start, event_type,
        round(cast(sum(v) as double), 6) as value_sum
 from hopped where ws >= 0
 group by ws, event_type
+"""
+
+    # gap fill: per-user hourly spine (generate_series), left join, last
+    # IGNORE NULLS carry-forward — identical frame semantics both engines.
+    o["events_gap_fill"] = """
+with e as (
+    select user_id, cast(floor(epoch(ts)) as bigint) // 3600 as p,
+           cast(value as decimal(25,10)) as v
+    from events
+),
+per as (
+    select user_id, p, cast(count(*) as bigint) as n_events,
+           round(cast(sum(v) as double), 6) as value_sum
+    from e group by user_id, p
+),
+spine as (
+    select user_id, unnest(generate_series(min(p), max(p))) as p
+    from e group by user_id
+),
+j as (
+    select s.user_id, s.p, per.n_events, per.value_sum
+    from spine s left join per on s.user_id = per.user_id and s.p = per.p
+)
+select user_id, make_timestamp(p * 3600 * 1000000) as period,
+       cast(coalesce(n_events, 0) as bigint) as n_events,
+       value_sum,
+       last_value(value_sum ignore nulls) over (
+           partition by user_id order by p
+           rows between unbounded preceding and current row
+       ) as filled_value,
+       cast(case when n_events is null then 1 else 0 end as int) as is_gap
+from j
 """
 
     o["events_quantiles"] = """

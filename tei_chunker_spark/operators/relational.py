@@ -1135,3 +1135,49 @@ def events_hopping_census(
         "n_events",
         "value_sum",
     )
+
+
+def events_gap_fill(events: DataFrame, step_seconds: int = 3600) -> DataFrame:
+    """Regular-grid gap filling: per user, generate the complete
+    ``step_seconds`` period spine from their first to last event and fill
+    the empty periods — count 0, value carried forward from the last
+    non-empty period (NULL before the first).  The standard time-series
+    densification every monitoring/feature pipeline needs before
+    resampling or diffing; the as-of family fills against ANOTHER table,
+    this fills a series against its own grid.
+
+    Scale shape: the per-period aggregation is one hash agg; the spine is
+    an arithmetic ``sequence`` per user (rows bounded by time-range /
+    step, independent of event volume); the only window is the per-user
+    carry-forward, partition bounded by the user's period count.  Period
+    ids are integer epoch-div products — floor(epoch) on both engines
+    (see events_hopping_census for the cast-vs-floor trap)."""
+    step = int(step_seconds)
+    e = events.select(
+        "user_id",
+        F.expr(f"(cast(unix_timestamp(ts) as bigint) div {step})").alias("p"),
+        F.col("value").cast("decimal(25,10)").alias("v"),
+    )
+    per = e.groupBy("user_id", "p").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.sum("v").cast("double"), 6).alias("value_sum"),
+    )
+    spine = (
+        e.groupBy("user_id")
+        .agg(F.min("p").alias("lo"), F.max("p").alias("hi"))
+        .select("user_id", F.explode(F.expr("sequence(lo, hi)")).alias("p"))
+    )
+    joined = spine.join(per, ["user_id", "p"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "user_id",
+        F.timestamp_seconds(F.col("p") * step).alias("period"),
+        F.coalesce("n_events", F.lit(0).cast("long")).alias("n_events"),
+        "value_sum",
+        F.last("value_sum", ignorenulls=True).over(w).alias("filled_value"),
+        F.col("n_events").isNull().cast("int").alias("is_gap"),
+    )

@@ -889,3 +889,47 @@ def test_hopping_rejects_nonmultiple_slide(spark):
     )
     with pytest.raises(ValueError):
         events_hopping_census(ev, 600, 250)
+
+
+# --- events_gap_fill --------------------------------------------------------
+
+
+def test_gap_fill_carries_last_value_forward(spark):
+    from datetime import datetime as dt
+
+    from tei_chunker_spark.operators.relational import events_gap_fill
+
+    ev = spark.createDataFrame(
+        [
+            (1, dt(2024, 1, 1, 0, 10), 1, "view", 5.0),
+            (2, dt(2024, 1, 1, 3, 20), 1, "view", 7.0),  # 2-hour gap
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    rows = sorted(events_gap_fill(ev, 3600).collect(), key=lambda r: r.period)
+    assert len(rows) == 4  # hours 0..3 inclusive
+    assert [r.is_gap for r in rows] == [0, 1, 1, 0]
+    assert [r.n_events for r in rows] == [1, 0, 0, 1]
+    assert [r.filled_value for r in rows] == [5.0, 5.0, 5.0, 7.0]
+    assert rows[1].value_sum is None
+
+
+def test_gap_fill_spine_is_per_user(spark):
+    """Each user's spine spans only their own activity range."""
+    from datetime import datetime as dt
+
+    from tei_chunker_spark.operators.relational import events_gap_fill
+
+    ev = spark.createDataFrame(
+        [
+            (1, dt(2024, 1, 1, 0), 1, "view", 1.0),
+            (2, dt(2024, 1, 1, 5), 1, "view", 1.0),
+            (3, dt(2024, 2, 1, 0), 2, "view", 1.0),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    out = events_gap_fill(ev, 3600).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert len(by_user[1]) == 6 and len(by_user[2]) == 1
