@@ -383,6 +383,8 @@ _WINDOW_FIRST = [
     "source_overlap",
     "events_hopping",
     "events_gap_fill",
+    "shipping_priority",
+    "returned_revenue",
     # load-bearing long-green fillers (window positions up to 50)
     "extract_spans_pipeline",
     "extract_doc_metrics",
@@ -653,6 +655,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["events_gap_fill"] = lambda spark, sf: relational.events_gap_fill(
         load(spark, sf, "events"), step_seconds=3600
+    )
+    q["shipping_priority"] = lambda spark, sf: relational.shipping_priority(
+        load(spark, sf, "customer"),
+        load(spark, sf, "orders"),
+        load(spark, sf, "lineitem"),
+    )
+    q["returned_revenue"] = lambda spark, sf: relational.returned_item_revenue(
+        load(spark, sf, "customer"),
+        load(spark, sf, "orders"),
+        load(spark, sf, "lineitem"),
+        load(spark, sf, "nation"),
     )
     q["pricing_summary"] = lambda spark, sf: relational.pricing_summary(
         load(spark, sf, "lineitem")
@@ -1691,6 +1704,51 @@ select user_id, make_timestamp(p * 3600 * 1000000) as period,
        ) as filled_value,
        cast(case when n_events is null then 1 else 0 end as int) as is_gap
 from j
+"""
+
+    # TPC-H Q3 shape: exact-cents LONG rank key (floor(x*100+0.5) — the
+    # csum device), rounded display double alongside.
+    o["shipping_priority"] = """
+with c as (select c_custkey from customer where c_mktsegment = 'BUILDING'),
+o as (select o_orderkey, o_custkey, o_orderdate from orders
+      where o_orderdate < timestamp '1998-01-01'),
+li as (select l_orderkey, l_extendedprice, l_discount from lineitem
+       where l_shipdate > timestamp '1998-01-01'),
+per as (
+    select li.l_orderkey, o.o_orderdate,
+           cast(sum(cast(floor(li.l_extendedprice * (1 - li.l_discount) * 100
+                               + 0.5) as bigint)) as bigint) as revenue_cents
+    from li join o on li.l_orderkey = o.o_orderkey
+            join c on o.o_custkey = c.c_custkey
+    group by li.l_orderkey, o.o_orderdate
+)
+select l_orderkey, o_orderdate, revenue_cents,
+       round(revenue_cents / 100.0, 2) as revenue
+from per order by revenue_cents desc, o_orderdate, l_orderkey limit 10
+"""
+
+    # TPC-H Q10 shape: returned-item revenue per customer, quarter window.
+    o["returned_revenue"] = """
+with o as (
+    select o_orderkey, o_custkey from orders
+    where o_orderdate >= timestamp '1996-01-01'
+      and o_orderdate < timestamp '1996-04-01'
+),
+li as (select l_orderkey, l_extendedprice, l_discount from lineitem
+       where l_returnflag = 'R'),
+per as (
+    select c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+           cast(sum(cast(floor(li.l_extendedprice * (1 - li.l_discount) * 100
+                               + 0.5) as bigint)) as bigint) as revenue_cents
+    from li join o on li.l_orderkey = o.o_orderkey
+            join customer c on o.o_custkey = c.c_custkey
+            join nation n on c.c_nationkey = n.n_nationkey
+    group by c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+)
+select c_custkey, c_name, n_name,
+       round(cast(c_acctbal as double), 2) as acctbal,
+       revenue_cents, round(revenue_cents / 100.0, 2) as revenue
+from per order by revenue_cents desc, c_custkey limit 20
 """
 
     o["events_quantiles"] = """

@@ -1181,3 +1181,116 @@ def events_gap_fill(events: DataFrame, step_seconds: int = 3600) -> DataFrame:
         F.last("value_sum", ignorenulls=True).over(w).alias("filled_value"),
         F.col("n_events").isNull().cast("int").alias("is_gap"),
     )
+
+
+def shipping_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-01-01",
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): the selective three-way join —
+    segment-filtered customers ⋈ orders placed before the cutoff ⋈ line
+    items shipped after it — aggregated to per-order revenue, top-k by
+    (revenue desc, orderdate asc, orderkey asc).
+
+    Scale notes: both date filters and the segment filter push into the
+    parquet scans (each side shrinks BEFORE the joins); the customer side
+    reduces to a filtered key set driving a join on o_custkey; revenue
+    uses the exact integer-cents accumulator (csum) so the sort key can
+    never wobble across partial-agg orders; the final top-k is
+    TakeOrderedAndProject, never a full sort.  The float revenue is
+    deterministic, but ranking on a rounded double invites cross-engine
+    tie surprises — so the ORDER BY key is the exact cents LONG, with
+    the rounded display column alongside (same device as bm25)."""
+    c = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
+    o = orders.filter(
+        F.col("o_orderdate") < F.lit(cutoff).cast("timestamp")
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = lineitem.filter(
+        F.col("l_shipdate") > F.lit(cutoff).cast("timestamp")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    per_order = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                    + F.lit(0.5)
+                ).cast("long")
+            ).alias("revenue_cents")
+        )
+    )
+    return (
+        per_order.orderBy(
+            F.col("revenue_cents").desc(), F.col("o_orderdate"), F.col("l_orderkey")
+        )
+        .limit(k)
+        .select(
+            "l_orderkey",
+            "o_orderdate",
+            "revenue_cents",
+            F.round(F.col("revenue_cents") / 100.0, 2).alias("revenue"),
+        )
+    )
+
+
+def returned_item_revenue(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1996-04-01",
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10 shape (returned-item revenue): customers ranked by the
+    revenue they returned (l_returnflag = 'R') in a quarter, with their
+    nation — the four-table join pattern: two fact joins + one broadcast
+    dim, filters pushed to every scan.
+
+    Same exact-cents rank key discipline as shipping_priority; the
+    customer attributes ride THROUGH the aggregation as group keys (they
+    are functionally dependent on c_custkey, and grouping by the full
+    tuple lets the hash agg keep map-side partials — re-joining customer
+    after the agg would be a second shuffle of the big side)."""
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_lo).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_hi).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = lineitem.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    per_cust = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            customer.select("c_custkey", "c_name", "c_acctbal", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                    + F.lit(0.5)
+                ).cast("long")
+            ).alias("revenue_cents")
+        )
+    )
+    return (
+        per_cust.orderBy(F.col("revenue_cents").desc(), F.col("c_custkey"))
+        .limit(k)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.round(F.col("c_acctbal").cast("double"), 2).alias("acctbal"),
+            "revenue_cents",
+            F.round(F.col("revenue_cents") / 100.0, 2).alias("revenue"),
+        )
+    )

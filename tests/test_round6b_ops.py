@@ -933,3 +933,59 @@ def test_gap_fill_spine_is_per_user(spark):
     for r in out:
         by_user.setdefault(r.user_id, []).append(r)
     assert len(by_user[1]) == 6 and len(by_user[2]) == 1
+
+
+# --- shipping_priority / returned_item_revenue ------------------------------
+
+
+def test_shipping_priority_plan_pushes_filters_and_takes_top_k(spark):
+    from tei_chunker_spark.operators.relational import shipping_priority
+
+    sf = "/root/testdata/sf0.001"
+    df = shipping_priority(
+        spark.read.parquet(f"{sf}/customer.parquet"),
+        spark.read.parquet(f"{sf}/orders.parquet"),
+        spark.read.parquet(f"{sf}/lineitem.parquet"),
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    assert len(rows) <= 10
+    keys = [(-r.revenue_cents, r.o_orderdate, r.l_orderkey) for r in rows]
+    assert keys == sorted(keys)
+    for r in rows:
+        assert r.revenue == round(r.revenue_cents / 100.0, 2)
+
+
+def test_returned_revenue_only_counts_R_lines(spark):
+    from datetime import datetime as dt
+
+    from tei_chunker_spark.operators.relational import returned_item_revenue
+
+    customer = spark.createDataFrame(
+        [(1, "Alice", 10, 50.0, "BUILDING")],
+        "c_custkey long, c_name string, c_nationkey long, c_acctbal double, c_mktsegment string",
+    )
+    orders = spark.createDataFrame(
+        [(100, 1, "O", 1.0, dt(1996, 2, 1), "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    li_rows = [
+        (100, 1, 1, 1, 1.0, 100.0, 0.1, 0.0, "R", "F", dt(1996, 2, 10)),
+        (100, 1, 1, 2, 1.0, 999.0, 0.0, 0.0, "N", "F", dt(1996, 2, 11)),
+    ]
+    lineitem = spark.createDataFrame(
+        li_rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, "
+        "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+        "l_returnflag string, l_linestatus string, l_shipdate timestamp",
+    )
+    nation = spark.createDataFrame(
+        [(10, "FRANCE", 0)], "n_nationkey long, n_name string, n_regionkey long"
+    )
+    rows = returned_item_revenue(customer, orders, lineitem, nation).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.revenue_cents == 9000  # only the R line: 100 * 0.9 = 90.00
+    assert r.n_name == "FRANCE" and r.acctbal == 50.0
