@@ -385,6 +385,8 @@ _WINDOW_FIRST = [
     "events_gap_fill",
     "shipping_priority",
     "returned_revenue",
+    "promo_revenue",
+    "brand_size_revenue",
     # load-bearing long-green fillers (window positions up to 50)
     "extract_spans_pipeline",
     "extract_doc_metrics",
@@ -666,6 +668,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load(spark, sf, "orders"),
         load(spark, sf, "lineitem"),
         load(spark, sf, "nation"),
+    )
+    q["promo_revenue"] = lambda spark, sf: relational.promo_revenue_share(
+        load(spark, sf, "lineitem"), load(spark, sf, "part")
+    )
+    q["brand_size_revenue"] = lambda spark, sf: relational.brand_size_revenue(
+        load(spark, sf, "lineitem"), load(spark, sf, "part")
     )
     q["pricing_summary"] = lambda spark, sf: relational.pricing_summary(
         load(spark, sf, "lineitem")
@@ -1749,6 +1757,50 @@ select c_custkey, c_name, n_name,
        round(cast(c_acctbal as double), 2) as acctbal,
        revenue_cents, round(revenue_cents / 100.0, 2) as revenue
 from per order by revenue_cents desc, c_custkey limit 20
+"""
+
+    # TPC-H Q14 shape: exact-cents conditional sums; one final double div.
+    o["promo_revenue"] = """
+with j as (
+    select cast(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                as bigint) as cents,
+           p.p_type
+    from lineitem l join part p on l.l_partkey = p.p_partkey
+    where l.l_shipdate >= timestamp '1996-01-01'
+      and l.l_shipdate < timestamp '1996-02-01'
+)
+select cast(sum(case when p_type = 'PROMO' then cents else 0 end) as bigint)
+         as promo_cents,
+       cast(sum(cents) as bigint) as total_cents,
+       round(100.0 * sum(case when p_type = 'PROMO' then cents else 0 end)
+             / sum(cents), 6) as promo_revenue_pct
+from j
+"""
+
+    # TPC-H Q19 shape: disjunctive branch revenue, exact cents per branch.
+    o["brand_size_revenue"] = """
+with j as (
+    select cast(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                as bigint) as cents,
+           p.p_brand, p.p_size, l.l_quantity
+    from lineitem l
+    join part p on l.l_partkey = p.p_partkey
+    where (p.p_brand = 'Brand#12' and p.p_size <= 15)
+       or (p.p_brand = 'Brand#23' and p.p_size <= 30)
+),
+m as (
+    select *,
+           (p_brand = 'Brand#12' and p_size <= 15
+            and l_quantity >= 1 and l_quantity <= 20) as b1,
+           (p_brand = 'Brand#23' and p_size <= 30
+            and l_quantity >= 10 and l_quantity <= 35) as b2
+    from j
+)
+select cast(sum(case when b1 then cents else 0 end) as bigint) as branch1_cents,
+       cast(sum(case when b2 then cents else 0 end) as bigint) as branch2_cents,
+       cast(sum(cents) as bigint) as total_cents,
+       cast(count(*) as bigint) as n_items
+from m where b1 or b2
 """
 
     o["events_quantiles"] = """

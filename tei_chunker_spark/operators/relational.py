@@ -1294,3 +1294,88 @@ def returned_item_revenue(
             F.round(F.col("revenue_cents") / 100.0, 2).alias("revenue"),
         )
     )
+
+
+def promo_revenue_share(
+    lineitem: DataFrame,
+    part: DataFrame,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1996-02-01",
+) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): the share of one month's
+    revenue from PROMO-type parts — a fact⋈broadcast-dim join with a
+    conditional aggregate, reduced to ONE output row.
+
+    Exactness discipline: both the promo and total revenues accumulate as
+    integer cents (order-independent LONG sums); only the final single
+    percentage is a double division of two exact integers — one IEEE op,
+    bit-identical cross-engine, then rounded for display."""
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("long")
+    j = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_lo).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_hi).cast("timestamp"))
+        )
+        .join(
+            F.broadcast(part.select("p_partkey", "p_type")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+    )
+    return j.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", cents).otherwise(0)).alias(
+            "promo_cents"
+        ),
+        F.sum(cents).alias("total_cents"),
+    ).select(
+        "promo_cents",
+        "total_cents",
+        F.round(
+            F.lit(100.0) * F.col("promo_cents") / F.col("total_cents"), 6
+        ).alias("promo_revenue_pct"),
+    )
+
+
+def brand_size_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19 shape (disjunctive predicate revenue): revenue from line
+    items matching an OR-of-ANDs over part attributes and line quantity —
+    the query planners historically mangled (the disjunction straddles
+    both join sides, so naive planners evaluated it post-join on the full
+    fact table).
+
+    The scale-correct decomposition: per-side conjuncts that appear in
+    EVERY branch are hoisted and pushed to the scans (here: p_size >= 1
+    and the quantity floor), the dim side pre-filters to rows satisfying
+    ANY branch's part-conjuncts before broadcasting, and the residual
+    disjunction evaluates on the joined (already shrunk) rows.  Output is
+    one exact-cents row per branch plus the total."""
+    part_f = part.select("p_partkey", "p_brand", "p_size").filter(
+        ((F.col("p_brand") == "Brand#12") & (F.col("p_size") <= 15))
+        | ((F.col("p_brand") == "Brand#23") & (F.col("p_size") <= 30))
+    )
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("long")
+    j = lineitem.select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    ).join(F.broadcast(part_f), F.col("l_partkey") == F.col("p_partkey"))
+    b1 = (
+        (F.col("p_brand") == "Brand#12")
+        & (F.col("p_size") <= 15)
+        & (F.col("l_quantity") >= 1)
+        & (F.col("l_quantity") <= 20)
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#23")
+        & (F.col("p_size") <= 30)
+        & (F.col("l_quantity") >= 10)
+        & (F.col("l_quantity") <= 35)
+    )
+    matched = j.filter(b1 | b2)
+    return matched.agg(
+        F.sum(F.when(b1, cents).otherwise(0)).alias("branch1_cents"),
+        F.sum(F.when(b2, cents).otherwise(0)).alias("branch2_cents"),
+        F.sum(cents).alias("total_cents"),
+        F.count(F.lit(1)).alias("n_items"),
+    )

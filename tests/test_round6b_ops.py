@@ -989,3 +989,45 @@ def test_returned_revenue_only_counts_R_lines(spark):
     r = rows[0]
     assert r.revenue_cents == 9000  # only the R line: 100 * 0.9 = 90.00
     assert r.n_name == "FRANCE" and r.acctbal == 50.0
+
+
+# --- promo_revenue_share / brand_size_revenue --------------------------------
+
+
+def test_promo_share_hand_computed(spark):
+    from datetime import datetime as dt
+
+    from tei_chunker_spark.operators.relational import promo_revenue_share
+
+    li = spark.createDataFrame(
+        [
+            (1, 10, 1, 1, 1.0, 100.0, 0.0, 0.0, "N", "F", dt(1996, 1, 5)),
+            (1, 20, 1, 2, 1.0, 300.0, 0.0, 0.0, "N", "F", dt(1996, 1, 6)),
+            (1, 10, 1, 3, 1.0, 999.0, 0.0, 0.0, "N", "F", dt(1997, 1, 1)),  # out of window
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, "
+        "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+        "l_returnflag string, l_linestatus string, l_shipdate timestamp",
+    )
+    part = spark.createDataFrame(
+        [(10, "a", "Brand#1", "PROMO", 5, 1.0), (20, "b", "Brand#2", "LARGE", 5, 1.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string, p_size long, p_retailprice double",
+    )
+    r = promo_revenue_share(li, part).collect()[0]
+    assert r.promo_cents == 10000 and r.total_cents == 40000
+    assert r.promo_revenue_pct == 25.0
+
+
+def test_brand_size_branches_partition_matches(spark):
+    """Each matched row contributes to >= 1 branch; the branch sums cover
+    the total exactly when branches are disjoint (different brands)."""
+    from tei_chunker_spark.operators.relational import brand_size_revenue
+
+    sf = "/root/testdata/sf0.001"
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf}/part.parquet")
+    r = brand_size_revenue(li, part).collect()[0]
+    assert r.branch1_cents + r.branch2_cents == r.total_cents
+    plan_df = brand_size_revenue(li, part)
+    plan = plan_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # dim side broadcast, pre-filtered
