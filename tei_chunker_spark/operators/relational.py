@@ -1106,7 +1106,7 @@ def events_hopping_census(
         "event_type",
         F.col("value").cast("decimal(25,10)").alias("v"),
         F.expr("cast(unix_timestamp(ts) as bigint)").alias("es"),
-    )
+    ).filter(F.col("es") >= 0)  # div truncates, // floors: negatives differ
     hopped = e.select(
         "event_type",
         "v",
@@ -1116,7 +1116,7 @@ def events_hopping_census(
                 f" i -> ((es div {slide_seconds}) - i) * {slide_seconds})"
             )
         ).alias("ws"),
-    ).filter(F.col("es") >= 0)
+    )
     # an event belongs to window [ws, ws+width): the construction
     # guarantees ws <= es; drop the starts where es >= ws + width is
     # impossible by construction, so no post-filter is needed — but keep
