@@ -2504,9 +2504,11 @@ vc as (
     from embeddings e cross join qv where e.vec_id != 0
 ),
 vr as (
+    -- zero-magnitude vectors: 0.0/0.0 is NULL here, NaN Spark-side;
+    -- both engines drop them before ranking (Spark: isnan filter)
     select doc_id,
            row_number() over (order by cos_sim desc, doc_id) as rank_vec
-    from vc
+    from vc where cos_sim is not null
 ),
 vr30 as (select doc_id, rank_vec from vr where rank_vec <= 30),
 f as (

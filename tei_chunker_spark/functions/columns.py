@@ -143,3 +143,43 @@ def l2norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2norm(a) * l2norm(b))
+
+
+def tokens_with_count(documents, text_col: str = "text"):
+    """(doc_id, tok: array<string>, n_tokens: long) — the whitespace
+    token array materialized ONCE behind a generator barrier (see
+    dedup._tokens_materialized for the re-inline hazard) with the
+    blank-document guard applied: blank text splits to [''], which must
+    count as 0 tokens, not 1.
+
+    This subtle guard used to be copy-pasted into four operators
+    (cdc_segment_census, lm_bigram_score, winnow_fingerprint_census,
+    phrase_match_census); a divergence in any one copy would silently
+    split engine-vs-oracle behavior for just that op — it lives here
+    once instead."""
+    return documents.select(
+        "doc_id", F.explode(F.array(tokens(F.col(text_col)))).alias("tok")
+    ).select(
+        "doc_id",
+        "tok",
+        F.when(
+            (F.size("tok") == 1) & (F.element_at("tok", 1) == ""), F.lit(0)
+        )
+        .otherwise(F.size("tok"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+
+
+def cosine_safe(a: Column, b: Column) -> Column:
+    """Cosine similarity, NULL when either vector has zero magnitude.
+
+    The bare ``dot/(norm·norm)`` quotient is a query-killer under this
+    engine's ANSI mode: a single all-zero embedding raises
+    DIVIDE_BY_ZERO and aborts the whole job (and with ANSI off it would
+    instead yield NaN, which Spark orders ABOVE every real number — a
+    zero vector would "win" any similarity ranking).  DuckDB's 0.0/0.0
+    is NULL, so NULL-on-zero is also the oracle-matching semantics.
+    CASE WHEN evaluates the quotient only when both norms are positive."""
+    na, nb = l2norm(a), l2norm(b)
+    return F.when((na > 0) & (nb > 0), dot(a, b) / (na * nb))

@@ -17,7 +17,12 @@ from collections.abc import Mapping
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.columns import token_count, tokens, word_ngrams
+from ..functions.columns import (
+    token_count,
+    tokens,
+    tokens_with_count,
+    word_ngrams,
+)
 
 
 def seq_pack(
@@ -1024,18 +1029,7 @@ def cdc_segment_census(documents: DataFrame) -> DataFrame:
     hash agg on seg_hash with linear join fan-in, exactly like
     boilerplate_stats.  Blank docs have zero segments and re-enter via
     the final left join (NULL ratio)."""
-    t = documents.select(
-        "doc_id", F.explode(F.array(tokens(F.col("text")))).alias("tok")
-    ).select(
-        "doc_id",
-        "tok",
-        F.when(
-            (F.size("tok") == 1) & (F.element_at("tok", 1) == ""), F.lit(0)
-        )
-        .otherwise(F.size("tok"))
-        .cast("long")
-        .alias("n_tokens"),
-    )
+    t = tokens_with_count(documents)
     # blank docs split to [''] — the guard stops the phantom segment
     tokd = t.select(
         "doc_id",
@@ -1068,7 +1062,6 @@ def cdc_segment_census(documents: DataFrame) -> DataFrame:
                 ),
             )
         ).alias("seg_hash"),
-        F.count(F.lit(1)).cast("long").alias("seg_len"),
     )
     cf = seg.groupBy("seg_hash").agg(F.count(F.lit(1)).alias("n_occ"))
     pd = (
@@ -1122,18 +1115,7 @@ def lm_bigram_score(documents: DataFrame) -> DataFrame:
     doc_id.  No windows, no all-pairs, no corpus-order dependence —
     every sum is order-independent integer arithmetic.  Docs with < 2
     tokens have no transitions: n_transitions = 0, score_ppm NULL."""
-    t = documents.select(
-        "doc_id", F.explode(F.array(tokens(F.col("text")))).alias("tok")
-    ).select(
-        "doc_id",
-        "tok",
-        F.when(
-            (F.size("tok") == 1) & (F.element_at("tok", 1) == ""), F.lit(0)
-        )
-        .otherwise(F.size("tok"))
-        .cast("long")
-        .alias("n_tokens"),
-    )
+    t = tokens_with_count(documents)
     tr = t.select(
         "doc_id",
         F.explode(
@@ -1331,6 +1313,10 @@ def source_overlap_matrix(
         )
         .filter(F.col("gram") != "")
         .distinct()
+        # referenced 3-4x (both self-join sides, sizes, optional keep):
+        # materialize once instead of re-tokenizing the corpus per
+        # reference (ContextCleaner-managed — see dedup.jaccard_pairs)
+        .localCheckpoint(eager=True)
     )
     if max_gram_sources is not None:
         keep = (

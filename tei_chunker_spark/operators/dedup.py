@@ -29,7 +29,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.columns import cosine, tokens, word_ngrams
+from ..functions.columns import cosine, cosine_safe, tokens, word_ngrams
 from .textstats import simhash64
 
 MINHASH_SEEDS = ("s0/", "s1/", "s2/", "s3/")
@@ -1070,10 +1070,14 @@ def semantic_dedup(
     pairs = (
         a.join(b, F.col("a.cell") == F.col("b.cell"))
         .filter(F.col("a.vec_id") != F.col("b.vec_id"))
-        .filter(
-            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
-            >= threshold
+        # zero-magnitude guard: the bare cosine quotient would ABORT the
+        # job under ANSI (DIVIDE_BY_ZERO); cosine_safe yields NULL, which
+        # the >= filter drops — identical to the oracle's NULL semantics
+        .withColumn(
+            "_cos",
+            F.round(cosine_safe(F.col("a.embedding"), F.col("b.embedding")), 6),
         )
+        .filter(F.col("_cos").isNotNull() & (F.col("_cos") >= threshold))
         .select(
             F.col("a.vec_id").alias("vec_id"),
             F.col("b.vec_id").alias("other_id"),

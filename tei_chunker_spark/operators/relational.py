@@ -62,6 +62,17 @@ def csum(col, scale: int, unit: int = 100) -> F.Column:
     )
 
 
+def revenue_cents(price_col="l_extendedprice", discount_col="l_discount") -> F.Column:
+    """Per-row exact-cents revenue: ``floor(price * (1 - discount) * 100
+    + 0.5)`` as LONG — csum's half-up quantization device exposed as a
+    single-row expression, shared by every TPC-H-shape op that ranks or
+    partitions on exact revenue (Q3/Q10/Q14/Q19).  One definition so the
+    engine-portability-critical rounding can never drift between ops."""
+    return F.floor(
+        F.col(price_col) * (1 - F.col(discount_col)) * 100 + F.lit(0.5)
+    ).cast("long")
+
+
 def pricing_summary(lineitem: DataFrame) -> DataFrame:
     """TPC-H Q1 shape: filter -> hash aggregate -> sort."""
     return (
@@ -1102,11 +1113,18 @@ def events_hopping_census(
     if width_seconds % slide_seconds != 0:
         raise ValueError("width_seconds must be a multiple of slide_seconds")
     n_hops = width_seconds // slide_seconds
+    # floor(cast(ts as double)) == DuckDB floor(epoch(ts)) EXACTLY —
+    # unix_timestamp truncates the fractional second toward zero, so a
+    # pre-1970 event at -0.5s would read 0 here but -1 in the oracle
     e = events.select(
         "event_type",
         F.col("value").cast("decimal(25,10)").alias("v"),
-        F.expr("cast(unix_timestamp(ts) as bigint)").alias("es"),
-    ).filter(F.col("es") >= 0)  # div truncates, // floors: negatives differ
+        F.expr(
+            # inner cast: parquet NTZ -> session-tz timestamp (UTC session ==
+            # DuckDB naive epoch); NTZ cannot cast to double directly
+            "cast(floor(cast(cast(ts as timestamp) as double)) as bigint)"
+        ).alias("es"),
+    ).filter(F.col("es") >= 0)
     hopped = e.select(
         "event_type",
         "v",
@@ -1153,9 +1171,13 @@ def events_gap_fill(events: DataFrame, step_seconds: int = 3600) -> DataFrame:
     ids are integer epoch-div products — floor(epoch) on both engines
     (see events_hopping_census for the cast-vs-floor trap)."""
     step = int(step_seconds)
+    # floor-epoch (not unix_timestamp): see events_hopping_census
     e = events.select(
         "user_id",
-        F.expr(f"(cast(unix_timestamp(ts) as bigint) div {step})").alias("p"),
+        F.expr(
+            f"(cast(floor(cast(cast(ts as timestamp) as double)) as bigint)"
+            f" div {step})"
+        ).alias("p"),
         F.col("value").cast("decimal(25,10)").alias("v"),
     )
     per = e.groupBy("user_id", "p").agg(
@@ -1217,12 +1239,7 @@ def shipping_priority(
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            F.sum(
-                F.floor(
-                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
-                    + F.lit(0.5)
-                ).cast("long")
-            ).alias("revenue_cents")
+            F.sum(revenue_cents()).alias("revenue_cents")
         )
     )
     return (
@@ -1274,12 +1291,7 @@ def returned_item_revenue(
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
-            F.sum(
-                F.floor(
-                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
-                    + F.lit(0.5)
-                ).cast("long")
-            ).alias("revenue_cents")
+            F.sum(revenue_cents()).alias("revenue_cents")
         )
     )
     return (
@@ -1310,9 +1322,7 @@ def promo_revenue_share(
     integer cents (order-independent LONG sums); only the final single
     percentage is a double division of two exact integers — one IEEE op,
     bit-identical cross-engine, then rounded for display."""
-    cents = F.floor(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
-    ).cast("long")
+    cents = revenue_cents()
     j = (
         lineitem.filter(
             (F.col("l_shipdate") >= F.lit(date_lo).cast("timestamp"))
@@ -1344,22 +1354,26 @@ def brand_size_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     both join sides, so naive planners evaluated it post-join on the full
     fact table).
 
-    The scale-correct decomposition: per-side conjuncts that appear in
-    EVERY branch are hoisted and pushed to the scans (here: p_size >= 1
-    and the quantity floor), the dim side pre-filters to rows satisfying
-    ANY branch's part-conjuncts before broadcasting, and the residual
-    disjunction evaluates on the joined (already shrunk) rows.  Output is
-    one exact-cents row per branch plus the total."""
+    The scale-correct decomposition: the quantity disjunction's UNION
+    bound (l_quantity in [1, 35] — the hull of both branch ranges) is
+    hoisted to the lineitem scan as a pushable conjunct, the dim side
+    pre-filters to rows satisfying ANY branch's part-conjuncts before
+    broadcasting, and the residual disjunction evaluates on the joined
+    (already shrunk) rows.  Output is one exact-cents row per branch
+    plus the total."""
     part_f = part.select("p_partkey", "p_brand", "p_size").filter(
         ((F.col("p_brand") == "Brand#12") & (F.col("p_size") <= 15))
         | ((F.col("p_brand") == "Brand#23") & (F.col("p_size") <= 30))
     )
-    cents = F.floor(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
-    ).cast("long")
-    j = lineitem.select(
-        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
-    ).join(F.broadcast(part_f), F.col("l_partkey") == F.col("p_partkey"))
+    cents = revenue_cents()
+    j = (
+        lineitem.select(
+            "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+        )
+        # hull of the branch quantity ranges — pushed to the scan
+        .filter((F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 35))
+        .join(F.broadcast(part_f), F.col("l_partkey") == F.col("p_partkey"))
+    )
     b1 = (
         (F.col("p_brand") == "Brand#12")
         & (F.col("p_size") <= 15)

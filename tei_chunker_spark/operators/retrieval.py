@@ -44,7 +44,12 @@ import re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.columns import WS_CLASS, token_count, tokens
+from ..functions.columns import (
+    WS_CLASS,
+    token_count,
+    tokens,
+    tokens_with_count,
+)
 
 SCALE = 10**6
 _D38 = "decimal(38,0)"
@@ -116,17 +121,7 @@ def phrase_match_census(documents: DataFrame, phrase: str) -> DataFrame:
         raise ValueError("phrase_match_census: phrase has no terms")
     p = len(terms)
     needle = " ".join(terms)
-    t = documents.select(
-        "doc_id", F.explode(F.array(tokens(F.col("text")))).alias("tok")
-    ).select(
-        "doc_id",
-        "tok",
-        F.when(
-            (F.size("tok") == 1) & (F.element_at("tok", 1) == ""), F.lit(0)
-        )
-        .otherwise(F.size("tok"))
-        .alias("n_tokens"),
-    )
+    t = tokens_with_count(documents)
     starts = F.filter(
         F.sequence(F.lit(1), (F.col("n_tokens") - (p - 1)).cast("int")),
         lambda i: F.concat_ws(" ", F.slice(F.col("tok"), i, p)) == needle,
@@ -271,7 +266,7 @@ def hybrid_rrf_topk(
     (bm25_topk; brute-force/IVF cosine)."""
     from pyspark.sql import Window
 
-    from ..functions.columns import cosine
+    from ..functions.columns import cosine_safe
 
     lex = bm25_topk(documents, query, k=n_candidates).select(
         "doc_id", "score_micro"
@@ -288,10 +283,14 @@ def hybrid_rrf_topk(
         .crossJoin(F.broadcast(qv))
         .select(
             F.col("vec_id").alias("doc_id"),
-            F.round(cosine(F.col("embedding"), F.col("q_emb")), 6).alias(
-                "cos_sim"
-            ),
+            F.round(
+                cosine_safe(F.col("embedding"), F.col("q_emb")), 6
+            ).alias("cos_sim"),
         )
+        # zero-magnitude vectors: cosine is NULL (see cosine_safe — the
+        # bare quotient would ABORT under ANSI); DuckDB's 0.0/0.0 is
+        # NULL too — both engines drop them before ranking
+        .filter(F.col("cos_sim").isNotNull())
         .orderBy(F.col("cos_sim").desc(), F.col("doc_id"))
         .limit(n_candidates)
     )

@@ -28,6 +28,7 @@ from ..functions.columns import (
     char_shingles,
     is_blank,
     tokens,
+    tokens_with_count,
     word_ngrams,
 )
 
@@ -330,18 +331,7 @@ def winnow_fingerprint_census(
     per-doc rollup is a hash agg on doc_id.  No corpus-wide window, no
     all-pairs.  Docs with fewer than k + w - 1 tokens yield zero
     fingerprints and re-enter through the final left join."""
-    t = documents.select(
-        "doc_id", F.explode(F.array(tokens(F.col("text")))).alias("tok")
-    ).select(
-        "doc_id",
-        "tok",
-        F.when(
-            (F.size("tok") == 1) & (F.element_at("tok", 1) == ""), F.lit(0)
-        )
-        .otherwise(F.size("tok"))
-        .cast("long")
-        .alias("n_tokens"),
-    )
+    t = tokens_with_count(documents)
     # generator barrier: materialize the k-gram array once (see
     # shingle_table / cdc_segment_census for the re-inline hazard)
     g = t.select(

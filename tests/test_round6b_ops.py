@@ -1031,3 +1031,57 @@ def test_brand_size_branches_partition_matches(spark):
     plan_df = brand_size_revenue(li, part)
     plan = plan_df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # dim side broadcast, pre-filtered
+
+
+# --- NaN / epoch-boundary regression guards (round-6 review findings) -------
+
+
+def test_semantic_dedup_zero_vector_is_not_anyones_dup(spark):
+    """A zero-magnitude embedding has NaN cosine to everything; Spark
+    orders NaN above all reals, so an unguarded >= threshold would make
+    it a 'duplicate' of every cell-mate (and DuckDB would disagree).
+    The guard drops such pairs on both sides."""
+    from tei_chunker_spark.operators.dedup import semantic_dedup
+
+    emb = _embs(
+        spark,
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.0, 1.0])],
+    )
+    out = {
+        r.vec_id: r
+        for r in semantic_dedup(emb, threshold=0.3, n_cells=2, iters=1).collect()
+    }
+    assert all(r.n_dups == 0 and r.kept == 1 for r in out.values())
+    assert out[2].centroid_sim is None  # zero norm -> NULL, not NaN
+
+
+def test_hybrid_rrf_zero_vector_never_ranks(spark):
+    from tei_chunker_spark.operators.retrieval import hybrid_rrf_topk
+
+    docs = _docs(spark, [(0, "hash join"), (1, "hash join"), (2, "vector")])
+    emb = _embs(
+        spark,
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 0.0])],
+    )
+    rows = hybrid_rrf_topk(docs, emb, "hash", query_vec_id=0, k=10).collect()
+    by_id = {r.doc_id: r for r in rows}
+    # the zero vector holds no vector rank (unguarded it would crash the
+    # job under ANSI, or rank #1 without ANSI) — and doc 2 has no query
+    # term either, so it is absent from the fused result entirely
+    assert 2 not in by_id
+    assert by_id[1].rank_vec == 1
+
+
+def test_hopping_pre_epoch_fractional_event_excluded(spark):
+    """1969-12-31 23:59:59.5: truncating unix_timestamp would read epoch
+    0 and admit the event on the Spark side only; the floor-epoch
+    derivation excludes it identically to the oracle."""
+    from datetime import datetime as dt
+
+    from tei_chunker_spark.operators.relational import events_hopping_census
+
+    ev = spark.createDataFrame(
+        [(1, dt(1969, 12, 31, 23, 59, 59, 500000), 1, "view", 1.0)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    assert events_hopping_census(ev, 600, 300).collect() == []
