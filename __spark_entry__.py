@@ -377,6 +377,7 @@ _WINDOW_FIRST = [
     "semantic_dedup",
     "events_funnel",
     "events_retention",
+    "ann_ivf_range",
     "hybrid_rrf",
     "distinct_kmv",
     "ngram_novelty",
@@ -525,6 +526,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["semantic_dedup"] = lambda spark, sf: dedup.semantic_dedup(
         load(spark, sf, "embeddings"), threshold=0.3
+    )
+    q["ann_ivf_range"] = lambda spark, sf: kmeans.ann_ivf_range_search(
+        load(spark, sf, "embeddings"),
+        load(spark, sf, "embeddings").filter(F.col("vec_id") < 5),
+        min_sim=0.2,
+        n_probe=2,
     )
     q["hybrid_rrf"] = lambda spark, sf: retrieval.hybrid_rrf_topk(
         load(spark, sf, "documents"),
@@ -1472,6 +1479,51 @@ select cs.vec_id, cs.cell, cs.centroid_sim,
        cast(coalesce(per.n_dups, 0) as bigint) as n_dups,
        cast(1 - coalesce(per.dropped, 0) as int) as kept
 from cs left join per using (vec_id)
+"""
+    )
+
+    # IVF range search: multiprobe chain, threshold instead of rank
+    # (NULL cosine from a zero vector is dropped by WHERE — matching the
+    # Spark side's cosine_safe isNotNull filter).
+    o["ann_ivf_range"] = (
+        f"""
+with q as (
+    select vec_id, embedding,
+           [cast(round(x::double * 10000) as bigint) for x in embedding] as qv
+    from embeddings
+),
+c0 as (
+    select cast(row_number() over (order by vec_id) - 1 as int) as cell, qv as cv
+    from q order by vec_id limit 8
+),"""
+        + _assign.format(n=1, m=0, dist=_dist)
+        + ","
+        + _assign.format(n=2, m=1, dist=_dist)
+        + f""",
+af as (
+    select vec_id, embedding, cell from (
+        select x.vec_id, x.embedding, c.cell,
+               row_number() over (
+                   partition by x.vec_id
+                   order by {_dist}, c.cell
+               ) as rn
+        from q x cross join c2 c
+    ) where rn = 1
+),
+probes as (
+    select vec_id as query_id, embedding, cell from (
+        select x.vec_id, x.embedding, c.cell,
+               row_number() over (
+                   partition by x.vec_id
+                   order by {_dist}, c.cell
+               ) as rn
+        from q x cross join c2 c
+    ) where rn <= 2 and vec_id < 5
+)
+select p.query_id, a.vec_id as neighbor_id, a.cell,
+       round({cos.format(a='p', b='a')}, 6) as cos_sim
+from probes p join af a on p.cell = a.cell and p.query_id != a.vec_id
+where round({cos.format(a='p', b='a')}, 6) >= 0.2
 """
     )
 

@@ -224,3 +224,59 @@ def ann_ivf_trained_topk(
     )
     # two-stage top-k: see similarity._ranked (round-3 verdict item 1)
     return _ranked(pairs, k, extra_cols=("cell",))
+
+
+def ann_ivf_range_search(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    min_sim: float = 0.3,
+    n_cells: int = 8,
+    iters: int = 2,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Radius (range) search on the IVF index — the top-k family's other
+    API: ALL probed-cell neighbors with cosine >= ``min_sim``, not a
+    fixed count.  This is the retrieval mode dedup and contamination
+    sweeps actually want (a near-dup query has an unknown number of
+    matches; truncating at k silently drops duplicates), while top-k
+    remains the recommendation-style mode.
+
+    Same physical shape as ann_ivf_multiprobe_topk: corpus rows keep
+    their ONE stored cell, the tiny query side fans out x n_probe before
+    the broadcast, the scan prunes to probed cells — but the ranking
+    stage disappears entirely: a threshold filter needs NO window at
+    all, so the plan is join -> filter -> done (strictly cheaper than
+    top-k at scale).  cosine_safe: zero-magnitude vectors yield NULL and
+    fail the threshold instead of aborting under ANSI."""
+    from ..functions.columns import cosine_safe
+
+    cents = train_ivf_centroids(embeddings, n_cells=n_cells, iters=iters)
+    corpus = assign_cells(
+        embeddings.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+        ),
+        cents,
+        vec_col="c_emb",
+    )
+    probes = _with_probe_cells(
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            quantized("embedding").alias("qv"),
+        ),
+        cents,
+        n_probe,
+    ).drop("qv")
+    return (
+        corpus.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos_sim",
+            F.round(cosine_safe(F.col("q_emb"), F.col("c_emb")), 6),
+        )
+        .filter(F.col("cos_sim").isNotNull() & (F.col("cos_sim") >= min_sim))
+        .select("query_id", "neighbor_id", "cell", "cos_sim")
+        # a (query, neighbor) pair reachable through BOTH probed cells
+        # would duplicate — impossible here (corpus rows hold ONE cell),
+        # so no distinct is needed; plan stays join -> filter
+    )

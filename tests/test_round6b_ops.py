@@ -1085,3 +1085,44 @@ def test_hopping_pre_epoch_fractional_event_excluded(spark):
         "event_id long, ts timestamp, user_id long, event_type string, value double",
     )
     assert events_hopping_census(ev, 600, 300).collect() == []
+
+
+# --- ann_ivf_range_search ---------------------------------------------------
+
+
+def test_ivf_range_threshold_semantics_vs_topk(spark):
+    """Range search returns EVERY probed-cell neighbor above min_sim —
+    a superset of the same-parameters top-k restricted to the threshold;
+    no window appears in the plan (threshold needs no ranking)."""
+    from pyspark.sql import functions as F
+
+    from tei_chunker_spark.operators.kmeans import (
+        ann_ivf_multiprobe_topk,
+        ann_ivf_range_search,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 3)
+    rng = ann_ivf_range_search(emb, qs, min_sim=0.2, n_probe=2)
+    got = {(r.query_id, r.neighbor_id): r.cos_sim for r in rng.collect()}
+    topk = ann_ivf_multiprobe_topk(emb, qs, k=10, n_probe=2).collect()
+    for r in topk:
+        if r.cos_sim >= 0.2:
+            assert (r.query_id, r.neighbor_id) in got
+            assert got[(r.query_id, r.neighbor_id)] == r.cos_sim
+    assert all(v >= 0.2 for v in got.values())
+    plan = rng._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan  # join -> filter, no ranking stage
+
+
+def test_ivf_range_zero_vector_dropped(spark):
+    from tei_chunker_spark.operators.kmeans import ann_ivf_range_search
+
+    emb = spark.createDataFrame(
+        [(i, [1.0, float(i) / 10]) for i in range(8)] + [(8, [0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = ann_ivf_range_search(
+        emb, emb.filter("vec_id < 2"), min_sim=0.0, n_cells=2, iters=1
+    ).collect()
+    assert all(r.neighbor_id != 8 for r in out)  # NULL cos, never aborts
