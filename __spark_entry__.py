@@ -377,6 +377,7 @@ _WINDOW_FIRST = [
     "semantic_dedup",
     "events_funnel",
     "events_retention",
+    "dup_degree_census",
     "ann_ivf_range",
     "hybrid_rrf",
     "distinct_kmv",
@@ -526,6 +527,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["semantic_dedup"] = lambda spark, sf: dedup.semantic_dedup(
         load(spark, sf, "embeddings"), threshold=0.3
+    )
+    q["dup_degree_census"] = lambda spark, sf: dedup.dup_graph_degree_census(
+        _docs_with_near_dups(spark, sf), n=2, threshold=0.5
     )
     q["ann_ivf_range"] = lambda spark, sf: kmeans.ann_ivf_range_search(
         load(spark, sf, "embeddings"),
@@ -1079,6 +1083,25 @@ scored as (
         "with "
         + minhash_ctes
         + "\nselect a_id, b_id, jaccard from scored where jaccard >= 0.5\n"
+    )
+
+    # degree census over the verified near-dup pair set: same minhash
+    # CTE chain, endpoints exploded to both sides, two nested counts.
+    o["dup_degree_census"] = (
+        "with "
+        + minhash_ctes
+        + """,
+pairs as (select a_id, b_id from scored where jaccard >= 0.5),
+ends as (
+    select a_id as doc_id from pairs
+    union all
+    select b_id as doc_id from pairs
+),
+degrees as (select doc_id, cast(count(*) as bigint) as degree
+            from ends group by doc_id)
+select degree, cast(count(*) as bigint) as n_docs
+from degrees group by degree
+"""
     )
 
     o["dedup_components"] = (

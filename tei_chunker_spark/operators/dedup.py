@@ -1107,3 +1107,33 @@ def semantic_dedup(
             (F.lit(1) - F.coalesce("dropped", F.lit(0))).cast("int").alias("kept"),
         )
     )
+
+
+def dup_graph_degree_census(
+    documents: DataFrame, n: int = 2, threshold: float = 0.5
+) -> DataFrame:
+    """Degree distribution of the near-duplicate graph: for each degree d
+    (number of verified near-dup partners a document has), how many
+    documents have it — the one-glance skew diagnostic a dedup run needs
+    BEFORE committing to a strategy.  A heavy tail (one doc near-dup to
+    10^4 others) says boilerplate/template content dominates and the
+    exact-collapse + band-cap defenses are load-bearing; a flat
+    degree-1/2 profile says simple pair-pruning suffices.
+
+    Composition: the verified LSH pair set (minhash_lsh_pairs — all its
+    skew defenses inherited) → per-doc degree by exploding each
+    undirected pair to both endpoints (one narrow Expand) → a census
+    hash agg on degree.  Output rows are bounded by the max degree —
+    tiny by construction; everything corpus-sized was already bounded
+    inside the pair search."""
+    pairs = minhash_lsh_pairs(documents, n=n, threshold=threshold)
+    endpoints = pairs.select(
+        F.explode(F.array(F.col("a_id"), F.col("b_id"))).alias("doc_id")
+    )
+    degrees = endpoints.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    return (
+        degrees.groupBy("degree")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )

@@ -1126,3 +1126,29 @@ def test_ivf_range_zero_vector_dropped(spark):
         emb, emb.filter("vec_id < 2"), min_sim=0.0, n_cells=2, iters=1
     ).collect()
     assert all(r.neighbor_id != 8 for r in out)  # NULL cos, never aborts
+
+
+# --- dup_graph_degree_census ------------------------------------------------
+
+
+def test_dup_degree_census_hand_computed(spark):
+    """3 mutually-near docs (triangle) + 1 pair + 1 loner: degrees are
+    {2: 3 docs, 1: 2 docs}; the loner never appears (degree 0 rows would
+    require the full corpus spine — documented out of scope)."""
+    from tei_chunker_spark.operators.dedup import dup_graph_degree_census
+
+    tri = "t1 t2 t3 t4 t5 t6 t7 t8"
+    pair = "p1 p2 p3 p4 p5 p6"
+    docs = _docs(
+        spark,
+        [
+            (1, tri),
+            (2, tri),
+            (3, tri),
+            (4, pair),
+            (5, pair),
+            (6, "lone wolf content here"),
+        ],
+    )
+    out = {r.degree: r.n_docs for r in dup_graph_degree_census(docs).collect()}
+    assert out == {2: 3, 1: 2}
