@@ -1152,3 +1152,25 @@ def test_dup_degree_census_hand_computed(spark):
     )
     out = {r.degree: r.n_docs for r in dup_graph_degree_census(docs).collect()}
     assert out == {2: 3, 1: 2}
+
+
+def test_curate_cli_fluency_flag(spark, tmp_path):
+    """The --fluency-min-ppm flag threads through main(): census gains
+    the after_fluency key and output still lands."""
+    import json
+
+    from tei_chunker_spark.curate import main
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    out = str(tmp_path / "curated_fluency")
+    main(
+        [
+            "--input", src, "--eval", src, "--output", out,
+            "--quality-min", "0.0", "--contamination-max", "1.0",
+            "--fluency-min-ppm", "1000",
+        ]
+    )
+    with open(f"{out}/_census.json") as fh:
+        c = json.load(fh)
+    assert "after_fluency" in c
+    assert c["after_fluency"] <= c["after_quality"]
