@@ -377,6 +377,7 @@ _WINDOW_FIRST = [
     "semantic_dedup",
     "events_funnel",
     "events_retention",
+    "source_top_terms",
     "dup_degree_census",
     "ann_ivf_range",
     "hybrid_rrf",
@@ -527,6 +528,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["semantic_dedup"] = lambda spark, sf: dedup.semantic_dedup(
         load(spark, sf, "embeddings"), threshold=0.3
+    )
+    q["source_top_terms"] = lambda spark, sf: corpusops.source_top_terms(
+        load(spark, sf, "documents"), k=5
     )
     q["dup_degree_census"] = lambda spark, sf: dedup.dup_graph_degree_census(
         _docs_with_near_dups(spark, sf), n=2, threshold=0.5
@@ -1084,6 +1088,30 @@ scored as (
         + minhash_ctes
         + "\nselect a_id, b_id, jaccard from scored where jaccard >= 0.5\n"
     )
+
+    o["source_top_terms"] = f"""
+with tok as (
+    select source, unnest({_TOKENS}) as token from documents
+),
+counts as (
+    select source, token, cast(count(*) as bigint) as n
+    from tok where token != '' group by source, token
+),
+totals as (
+    select source, cast(sum(n) as bigint) as source_tokens
+    from counts group by source
+),
+ranked as (
+    select source, token, n,
+           row_number() over (partition by source order by n desc, token asc)
+             as rank
+    from counts
+)
+select r.source, cast(r.rank as int) as rank, r.token, r.n,
+       round(r.n / cast(t.source_tokens as double), 6) as share
+from ranked r join totals t on r.source is not distinct from t.source
+where r.rank <= 5
+"""
 
     # degree census over the verified near-dup pair set: same minhash
     # CTE chain, endpoints exploded to both sides, two nested counts.

@@ -1364,3 +1364,52 @@ def source_overlap_matrix(
             ).alias("jaccard"),
         )
     )
+
+
+def source_top_terms(documents: DataFrame, k: int = 5) -> DataFrame:
+    """Per-SOURCE salient terms: the k most frequent tokens of each feed
+    with their counts and in-source frequency share — the at-a-glance
+    feed profile (a news feed's top terms look nothing like a code
+    crawl's), sitting between doc_top_terms (per-document) and
+    vocab_coverage (corpus-global) on the aggregation ladder.
+
+    Shape: one tokenize explode → hash agg on (source, token) — the
+    Heaps-bounded per-source vocabulary — then the shared two-stage
+    salted top-k (operators/ranking.py): ``source`` is a LOW-cardinality
+    key, and a naive per-source window would land one feed's whole
+    vocabulary on a single task.  Ties break (count desc, token asc);
+    NULL source is a real slice and ranks like any other (window
+    partition keys group NULLs)."""
+    from .ranking import two_stage_topk
+
+    tok = (
+        documents.select(
+            "source", F.explode(tokens(F.col("text"))).alias("token")
+        )
+        .filter(F.col("token") != "")
+    )
+    counts = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    totals = counts.groupBy("source").agg(
+        F.sum("n").cast("long").alias("source_tokens")
+    )
+    ranked = two_stage_topk(
+        counts,
+        part_cols=["source"],
+        order_cols=[F.col("n").desc(), F.col("token").asc()],
+        salt_col="token",
+        k=k,
+        rank_alias="rank",
+    )
+    return (
+        ranked.join(totals, ranked["source"].eqNullSafe(totals["source"]))
+        .drop(totals["source"])
+        .select(
+            "source",
+            F.col("rank").cast("int").alias("rank"),
+            "token",
+            "n",
+            F.round(F.col("n") / F.col("source_tokens"), 6).alias("share"),
+        )
+    )

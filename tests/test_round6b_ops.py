@@ -1174,3 +1174,33 @@ def test_curate_cli_fluency_flag(spark, tmp_path):
         c = json.load(fh)
     assert "after_fluency" in c
     assert c["after_fluency"] <= c["after_quality"]
+
+
+# --- source_top_terms --------------------------------------------------------
+
+
+def test_source_top_terms_ranks_and_shares(spark):
+    rows = [
+        (1, "x x x y z", "s1"),
+        (2, "x y y", "s1"),
+        (3, "q q r", "s2"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    from tei_chunker_spark.operators.corpusops import source_top_terms
+
+    out = {(r.source, r.rank): r for r in source_top_terms(docs, k=2).collect()}
+    # s1: x=4, y=3 of 8 tokens
+    assert out[("s1", 1)].token == "x" and out[("s1", 1)].n == 4
+    assert out[("s1", 1)].share == 0.5
+    assert out[("s1", 2)].token == "y" and out[("s1", 2)].n == 3
+    assert out[("s2", 1)].token == "q" and out[("s2", 1)].n == 2
+    assert ("s1", 3) not in out  # k = 2
+
+
+def test_source_top_terms_null_source_ranked(spark):
+    rows = [(1, "a a b", None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    from tei_chunker_spark.operators.corpusops import source_top_terms
+
+    out = source_top_terms(docs, k=1).collect()
+    assert len(out) == 1 and out[0].source is None and out[0].token == "a"
