@@ -39,7 +39,7 @@ from tei_chunker_spark.operators import (
     udtfs,
 )
 from tei_chunker_spark.operators.extract import extract_pipeline, section_metadata_pipeline
-from tei_chunker_spark.sources.tables import load
+from tei_chunker_spark.sources.tables import load, table_size, widen_small
 
 # Golden fixtures: the interleaved corpus is a pure function of doc_id, so
 # the extraction family's expected output is precomputed with the pure-
@@ -55,6 +55,20 @@ _DOCS_JOIN = "join documents d on g.doc_id = cast(d.doc_id as varchar)"
 _FLAGSHIP_JOB = JobConfig(
     chunker=ChunkerConfig(max_chunk_size=500, overlap_size=50),
     shuffle_partitions=32,
+)
+
+# For pipelines fed by _interleaved_corpus: the generator's own
+# round-robin repartition already distributes documents uniformly across
+# cluster parallelism, so the salt exchange inside extract_pipeline would
+# re-shuffle an ALREADY uniformly spread corpus for nothing (guide §2.4
+# "remove shuffles outright" — valid at any scale: round-robin IS the
+# anti-skew distribution the salt exists to approximate).  Outputs are
+# identical either way (assume_bucketed_input is a physical-plan knob,
+# config.py:55-61); file-fed pipelines keep the salt shuffle.
+_FLAGSHIP_JOB_PRESPREAD = JobConfig(
+    chunker=ChunkerConfig(max_chunk_size=500, overlap_size=50),
+    shuffle_partitions=32,
+    assume_bucketed_input=True,
 )
 
 
@@ -86,7 +100,7 @@ def _interleaved_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full extraction pipeline over sf0.001-derived corpus."""
-    return extract_pipeline(_interleaved_corpus(spark, "/root/testdata/sf0.001"), _FLAGSHIP_JOB)
+    return extract_pipeline(_interleaved_corpus(spark, "/root/testdata/sf0.001"), _FLAGSHIP_JOB_PRESPREAD)
 
 
 # ---------------------------------------------------------------------------
@@ -102,13 +116,18 @@ def _docs_with_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "text").unionByName(dups)
 
 
-def _docs_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _docs_with_near_dups(
+    spark: SparkSession, sf_dir: str, widen: bool = False
+) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     dups = d.filter(F.col("doc_id") % 20 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.concat(F.lit("dup variant "), F.col("text")).alias("text"),
     )
-    return d.select("doc_id", "text").unionByName(dups)
+    u = d.select("doc_id", "text").unionByName(dups)
+    # widen AFTER the union so one round-robin exchange serves both
+    # branches (guide §2.5; size-gated no-op at production scale).
+    return widen_small(u, table_size(sf_dir, "documents")) if widen else u
 
 
 def _docs_with_case_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -241,8 +260,10 @@ def _change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _docs_with_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents with deterministic synthetic PII appended (the raw corpus
-    has none; both engines build the identical augmented text)."""
-    d = load(spark, sf_dir, "documents")
+    has none; both engines build the identical augmented text).  Widened:
+    the consumer is a per-row regex cascade, the classic compute-heavy
+    scan stage a single-row-group file would serialize (guide §2.5)."""
+    d = load(spark, sf_dir, "documents", widen=True)
     did = F.col("doc_id")
     return d.select(
         "doc_id",
@@ -424,10 +445,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # -- extraction pipeline (rows-only: whole-doc fold, not SQL-expressible;
     #    exact semantics pinned by the pytest golden/parity suite)
     q["extract_spans_pipeline"] = lambda spark, sf: extract_pipeline(
-        _interleaved_corpus(spark, sf), _FLAGSHIP_JOB
+        _interleaved_corpus(spark, sf), _FLAGSHIP_JOB_PRESPREAD
     )
     q["extract_doc_metrics"] = lambda spark, sf: (
-        extract_pipeline(_interleaved_corpus(spark, sf), _FLAGSHIP_JOB)
+        extract_pipeline(_interleaved_corpus(spark, sf), _FLAGSHIP_JOB_PRESPREAD)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_spans"),
@@ -437,18 +458,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["media_features_stub"] = lambda spark, sf: multimodal.media_features(
         multimodal.attach_payloads(
-            extract_pipeline(_interleaved_corpus(spark, sf), _FLAGSHIP_JOB)
+            extract_pipeline(_interleaved_corpus(spark, sf), _FLAGSHIP_JOB_PRESPREAD)
             .filter(F.col("kind") == "media_ref")
             .select("doc_id", "media_ref")
         )
     )
     q["extract_sections"] = lambda spark, sf: section_metadata_pipeline(
-        _interleaved_corpus(spark, sf), _FLAGSHIP_JOB
+        _interleaved_corpus(spark, sf), _FLAGSHIP_JOB_PRESPREAD
     )
     q["media_frame_sample"] = lambda spark, sf: _cast_long(
         multimodal.media_frame_sample(
             multimodal.attach_payloads(
-                extract_pipeline(_interleaved_corpus(spark, sf), _FLAGSHIP_JOB)
+                extract_pipeline(_interleaved_corpus(spark, sf), _FLAGSHIP_JOB_PRESPREAD)
                 .filter(F.col("kind") == "media_ref")
                 .select("doc_id", "media_ref")
             )
@@ -458,16 +479,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # -- text analysis
     q["doc_stats"] = lambda spark, sf: _cast_long(
-        textstats.doc_stats(load(spark, sf, "documents")),
+        textstats.doc_stats(load(spark, sf, "documents", widen=True)),
         ["char_len", "n_tokens", "n_distinct_tokens", "n_bpe_tokens", "max_token_len"],
     )
-    q["doc_quality"] = lambda spark, sf: textstats.doc_quality(load(spark, sf, "documents"))
+    q["doc_quality"] = lambda spark, sf: textstats.doc_quality(
+        load(spark, sf, "documents", widen=True)
+    )
     q["doc_langid"] = lambda spark, sf: _cast_long(
-        textstats.doc_langid(load(spark, sf, "documents")),
+        textstats.doc_langid(load(spark, sf, "documents", widen=True)),
         ["en_hits", "de_hits", "fr_hits", "es_hits"],
     )
     q["doc_fingerprint"] = lambda spark, sf: textstats.doc_fingerprint(
-        load(spark, sf, "documents")
+        load(spark, sf, "documents", widen=True)
     )
 
     # -- dedup family
@@ -475,7 +498,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_minhash_lsh"] = lambda spark, sf: dedup.minhash_lsh_pairs(
         _docs_with_near_dups(spark, sf), n=2, threshold=0.5
     )
-    q["dedup_simhash"] = lambda spark, sf: dedup.simhash_pairs(_docs_with_near_dups(spark, sf))
+    q["dedup_simhash"] = lambda spark, sf: dedup.simhash_pairs(
+        _docs_with_near_dups(spark, sf, widen=True)
+    )
     q["dedup_simhash_banded"] = lambda spark, sf: dedup.simhash_banded_pairs(
         _docs_with_near_dups(spark, sf), max_hamming=3
     )

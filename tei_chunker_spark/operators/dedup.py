@@ -103,23 +103,30 @@ def jaccard_pairs(
     pairs; otherwise all pairs sharing >= 1 shingle are scored.
     ``max_shingle_df`` drops shingles whose document frequency exceeds the
     cap before pairing (posting-list guillotine for scale)."""
+    has_df_col = False
     if max_shingle_df is not None:
-        keep = (
-            shingles.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_shingle_df)
-            .select("shingle")
-        )
-        # The capped posting table feeds sizes + the intersection join:
-        # materialize it once (eager local checkpoint) instead of
-        # re-tokenizing the corpus per reference.  localCheckpoint (not
-        # persist) on purpose: its RDD blocks are ContextCleaner-managed
-        # and freed when the result is garbage-collected, whereas a
-        # Dataset persist stays in the CacheManager until an explicit
-        # unpersist — a leak across a long session.  On a real cluster
-        # with executor loss, use reliable checkpointing or a table write
-        # between stages instead.
-        shingles = shingles.join(keep, "shingle").localCheckpoint(eager=True)
+        # ONE corpus tokenize pass + ONE df aggregate (r7, guide §1.2 /
+        # §2.3): checkpoint the RAW posting table so the cap aggregate and
+        # the join probe side share a single tokenize of the corpus (the
+        # pre-r7 shape re-derived ``shingles`` on both sides of the cap
+        # join — two full corpus scans), and ANNOTATE postings with their
+        # df instead of semi-joining a keep-list, so the all-pairs branch
+        # below reuses the same aggregate for its df >= 2 filter instead
+        # of running a second one.  localCheckpoint (not persist) on
+        # purpose: its RDD blocks are ContextCleaner-managed and freed
+        # when the result is garbage-collected, whereas a Dataset persist
+        # stays in the CacheManager until an explicit unpersist — a leak
+        # across a long session.  Lazy (eager=False, r7): materialization
+        # happens inside the first action instead of as a separate
+        # blocking job — same work, one less scheduling barrier.  On a
+        # real cluster with executor loss, use reliable checkpointing or
+        # a table write between stages instead.
+        shingles = shingles.localCheckpoint(eager=False)
+        dfs = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        shingles = shingles.join(
+            dfs.filter(F.col("_df") <= max_shingle_df), "shingle"
+        ).localCheckpoint(eager=False)
+        has_df_col = True
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
     if candidates is not None:
         # Verify-only-candidates: route the posting join THROUGH the pair
@@ -137,14 +144,21 @@ def jaccard_pairs(
     else:
         # All-pairs mode: postings with document frequency 1 can never
         # produce a pair — drop them from the JOIN side only (sizes above
-        # already counted them, so Jaccard is unchanged).
-        paired = (
-            shingles.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") >= 2)
-            .select("shingle")
-        )
-        joinable = shingles.join(paired, "shingle")
+        # already counted them, so Jaccard is unchanged).  With the df
+        # annotation present this is a FILTER on the checkpointed table;
+        # otherwise fall back to a dedicated aggregate.
+        if has_df_col:
+            joinable = shingles.filter(F.col("_df") >= 2).select(
+                "doc_id", "shingle"
+            )
+        else:
+            paired = (
+                shingles.groupBy("shingle")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .filter(F.col("df") >= 2)
+                .select("shingle")
+            )
+            joinable = shingles.join(paired, "shingle")
         a = joinable.alias("a")
         b = joinable.alias("b")
         inter = (
@@ -196,24 +210,30 @@ def containment_pairs(
     fan-in, no all-pairs.  The df cap is MORE defensible here than for
     Jaccard: a boilerplate shingle shared by B docs contributes B² pair
     rows but raises containment of full-page dups by at most 1/|src|."""
+    has_df_col = False
     if max_shingle_df is not None:
-        keep = (
+        # Same one-tokenize / one-df-aggregate shape as jaccard_pairs
+        # (r7): raw postings checkpointed once, df annotated onto each
+        # posting, cap + df>=2 both read that single aggregate.  Lazy
+        # checkpoints — materialized inside the first action, not as
+        # separate blocking jobs (see jaccard_pairs note).
+        shingles = shingles.localCheckpoint(eager=False)
+        dfs = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        shingles = shingles.join(
+            dfs.filter(F.col("_df") <= max_shingle_df), "shingle"
+        ).localCheckpoint(eager=False)
+        has_df_col = True
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    if has_df_col:
+        joinable = shingles.filter(F.col("_df") >= 2).select("doc_id", "shingle")
+    else:
+        paired = (
             shingles.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_shingle_df)
+            .filter(F.col("df") >= 2)
             .select("shingle")
         )
-        # materialized once for sizes + intersection (see jaccard_pairs
-        # note on localCheckpoint vs persist)
-        shingles = shingles.join(keep, "shingle").localCheckpoint(eager=True)
-    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
-    paired = (
-        shingles.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") >= 2)
-        .select("shingle")
-    )
-    joinable = shingles.join(paired, "shingle")
+        joinable = shingles.join(paired, "shingle")
     a = joinable.alias("a")
     b = joinable.alias("b")
     inter = (
@@ -274,7 +294,7 @@ def _collapse_exact(documents: DataFrame):
     members array is O(B) ids per group (8B bytes for a B-doc identical
     cluster — ~80 MB at B=10^7, comfortably within an executor; the
     texts that the window shape would have concentrated are 3-5 orders
-    larger).  Both outputs are materialized eagerly (localCheckpoint —
+    larger).  Both outputs are checkpointed (localCheckpoint —
     ContextCleaner-managed, see jaccard_pairs note): groups feeds reps
     AND mapping; mapping is referenced four times by _expand_rep_pairs,
     and is checkpointed NARROW (no text column) so those four scans
@@ -288,12 +308,12 @@ def _collapse_exact(documents: DataFrame):
             F.first("text").alias("text"),
             F.collect_list("doc_id").alias("_members"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     mapping = (
         groups.select("rep_id", F.explode("_members").alias("doc_id"))
         .select("doc_id", "rep_id")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     return mapping, groups.select(F.col("rep_id").alias("doc_id"), "text")
 
@@ -396,18 +416,19 @@ def minhash_lsh_pairs(
     (explicit recall trade, default off).
 
     The posting table feeds BOTH the signature build and the exact-Jaccard
-    verify; it is materialized once (eager local checkpoint, whose RDD
+    verify; it is materialized once (local checkpoint, whose RDD
     blocks the ContextCleaner frees on GC — unlike a Dataset persist,
     which the CacheManager holds until explicit unpersist) so the corpus
     is tokenized/shingled ONCE per invocation instead of twice (at 10^12
     docs the duplicate expression tree would re-read every document).
-    Construction is therefore partially EAGER: the posting build runs when
-    this function is called, not at the first action."""
+    Checkpoints are LAZY (r7): blocks materialize inside the first action
+    and are shared by every later reference — identical total work to the
+    former eager shape, minus one blocking job barrier per checkpoint."""
     if collapse_exact:
         mapping, docs = _collapse_exact(documents)
     else:
         mapping, docs = None, documents
-    sh = shingle_table(docs, n).localCheckpoint(eager=True)
+    sh = shingle_table(docs, n).localCheckpoint(eager=False)
     sig = minhash_signatures_from(sh)
     # F.concat (not concat_ws): NULL-propagating like SQL ||, so a doc with
     # no shingles gets a NULL band and drops out of the equi-join cleanly.

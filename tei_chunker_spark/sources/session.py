@@ -43,6 +43,20 @@ def get_spark(
         builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalesce floor (r7, guide §2.2/§2.5): with the default 1m
+        # floor, a small-but-compute-heavy post-shuffle stage (shingle
+        # postings, signature aggregates over a few MB of text) coalesces
+        # to ONE partition and serializes on one core.  64k keeps such
+        # stages parallel while still merging genuinely empty splinters.
+        # Scale-neutral by construction: at production sizes no
+        # post-shuffle partition is anywhere near 64k, so the floor never
+        # binds — it only matters exactly when bytes-per-partition is tiny
+        # relative to compute, which is the regime it fixes.  Env-tunable
+        # for clusters that want the stock floor back.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("TEI_AQE_MIN_PARTITION_SIZE", "64k"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
         .config("spark.python.worker.reuse", "true")

@@ -9,6 +9,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
 
 TABLES = (
     "region",
@@ -23,11 +24,67 @@ TABLES = (
     "embeddings",
 )
 
+# Schema memo (r7, guide §1.2 "per-task work" at the driver): a bare
+# ``spark.read.parquet(path)`` re-infers the schema from file footers on
+# EVERY DataFrame construction (~70 ms each here; a catalog/Iceberg table
+# reads its schema from the metastore instead and never pays this).  The
+# memo caches the inferred StructType per resolved path — metadata only,
+# never data or results — so repeated query constructions over the same
+# immutable input skip the footer sniff exactly like a catalog table
+# would.  Keyed by absolute path; the test corpora are read-only.
+_SCHEMA_MEMO: dict[str, StructType] = {}
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+# widen_small gate: inputs estimated above this are left to the scan's
+# own file splits (a repartition would move real bytes for parallelism
+# the splits already provide).  Below it, the shuffle is negligible next
+# to the per-row compute it parallelizes.
+_WIDEN_CAP_BYTES = int(os.environ.get("TEI_WIDEN_CAP_BYTES", str(256 << 20)))
+
+
+def table_size(sf_dir: str, name: str) -> int:
+    """On-disk bytes of a registry table (0 when unknown) — the widen
+    gate's size hint for frames DERIVED from a table (unions/filters),
+    where the derived plan's stats are less direct than the file size."""
+    try:
+        return os.path.getsize(os.path.join(sf_dir, f"{name}.parquet"))
+    except OSError:
+        return 0
+
+
+def widen_small(df: DataFrame, size_bytes: int) -> DataFrame:
+    """Scale-adaptive scan fan-out (guide §2.5 "input skew": one small /
+    unsplittable file caps stage parallelism at its row-group count).
+    The driver test tables are single-row-group parquet files, so every
+    scan stage — and all the per-row compute fused into it — runs as ONE
+    task regardless of cluster size.  For inputs small enough that the
+    round-robin shuffle is negligible (<= _WIDEN_CAP_BYTES, default
+    256 MB), repartition to cluster parallelism; for anything larger the
+    scan's own splits provide parallelism and this is a no-op.  Row-set
+    semantics are unchanged — only physical placement moves."""
+    if size_bytes <= 0 or size_bytes > _WIDEN_CAP_BYTES:
+        return df
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
+def load(
+    spark: SparkSession, sf_dir: str, name: str, widen: bool = False
+) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    schema = _SCHEMA_MEMO.get(path)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_MEMO[path] = df.schema
+    else:
+        df = spark.read.schema(schema).parquet(path)
+    if widen:
+        try:
+            size = os.path.getsize(path)
+        except OSError:
+            size = 0
+        df = widen_small(df, size)
+    return df
 
 
 def save_bucketed(
