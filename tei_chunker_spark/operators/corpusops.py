@@ -25,6 +25,28 @@ from ..functions.columns import (
 )
 
 
+def _gram_table(documents: DataFrame, n: int, *id_cols: str,
+                distinct_grams: bool = False) -> DataFrame:
+    """(id_cols..., gram) word-n-gram postings with the whitespace split
+    materialized ONCE behind a generator barrier.
+
+    ``word_ngrams(tokens(text), n)`` inlined in a single select is the
+    re-split pathology this repo documents everywhere else (CLAUDE.md;
+    dedup._tokens_materialized): projection collapsing substitutes the
+    ``split`` subtree into ``size`` plus the n ``element_at`` references
+    per gram, so every gram re-splits (and re-regex-trims) the document
+    n+1 times.  Measured r7 on the trigram operators: 10-30 s per query
+    at sf0.1 collapsing to ~1-2 s with the barrier — the barrier is the
+    difference between O(tokens) and O(tokens x n_grams) split work."""
+    toks = documents.select(
+        *id_cols, F.explode(F.array(tokens(F.col("text")))).alias("_tok")
+    )
+    g = word_ngrams(F.col("_tok"), n)
+    if distinct_grams:
+        g = F.array_distinct(g)
+    return toks.select(*id_cols, F.explode(g).alias("gram"))
+
+
 def seq_pack(
     documents: DataFrame, budget: int = 256, bucket_size: int = 64
 ) -> DataFrame:
@@ -301,9 +323,7 @@ def corpus_ngram_counts(
     per partition — no pair blowup); the final top-k is a
     TakeOrderedAndProject over the agg output, never a full sort of the
     gram vocabulary."""
-    grams = documents.select(
-        F.explode(word_ngrams(tokens(F.col("text")), n)).alias("gram")
-    )
+    grams = _gram_table(documents, n)
     return (
         grams.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
@@ -330,9 +350,7 @@ def doc_familiarity(documents: DataFrame, n: int = 2) -> DataFrame:
     gram key (Zipf-hot grams fan in linearly); per-doc rollup is a second
     hash agg.  Documents with no n-grams (< n tokens) get NULL score,
     kept."""
-    grams = documents.select(
-        "doc_id", F.explode(word_ngrams(tokens(F.col("text")), n)).alias("gram")
-    )
+    grams = _gram_table(documents, n, "doc_id")
     df = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("gram_df"))
     per_doc = (
         grams.join(df, "gram")
@@ -380,13 +398,9 @@ def contamination_stats(
     gram instead (AQE handles the Zipf-head grams exactly as in
     doc_familiarity).  Documents with fewer than ``n`` tokens have no
     grams: n_grams = 0, NULL ratio, kept."""
-    tgrams = train.select(
-        "doc_id", F.explode(word_ngrams(tokens(F.col("text")), n)).alias("gram")
-    )
+    tgrams = _gram_table(train, n, "doc_id")
     egrams = (
-        eval_docs.select(
-            F.explode(word_ngrams(tokens(F.col("text")), n)).alias("gram")
-        )
+        _gram_table(eval_docs, n)
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
@@ -446,10 +460,7 @@ def doc_repetition(documents: DataFrame) -> DataFrame:
         )
     )
     bi = (
-        documents.select(
-            "doc_id",
-            F.explode(word_ngrams(tokens(F.col("text")), 2)).alias("gram"),
-        )
+        _gram_table(documents, 2, "doc_id")
         .groupBy("doc_id", "gram")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .groupBy("doc_id")
@@ -1206,9 +1217,7 @@ def distinct_count_kmv(
     # blank docs tokenize to [''] whose 1-gram would be a phantom; the
     # word_ngrams too-short guard plus the '' filter covers n == 1 too
     tok = (
-        documents.select(
-            F.explode(word_ngrams(tokens(F.col("text")), n)).alias("gram")
-        )
+        _gram_table(documents, n)
         .filter(F.col("gram") != "")
         .select(
             F.conv(F.substring(F.md5("gram"), 1, 12), 16, 10)
@@ -1253,14 +1262,8 @@ def doc_ngram_novelty(documents: DataFrame, n: int = 3) -> DataFrame:
     first-owner table.  No window, no ordering, no pair join: novelty of
     10^12 docs costs the same shape as a document-frequency count.
     Blank/short docs have zero grams: n_grams = 0, novelty NULL."""
-    g = (
-        documents.select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(word_ngrams(tokens(F.col("text")), n))
-            ).alias("gram"),
-        )
-        .filter(F.col("gram") != "")
+    g = _gram_table(documents, n, "doc_id", distinct_grams=True).filter(
+        F.col("gram") != ""
     )
     first = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
     per = (
@@ -1305,12 +1308,7 @@ def source_overlap_matrix(
     grams so the per-pair Jaccard stays comparable).  NULL source is a
     real slice and kept (eqNullSafe pair join keys)."""
     sg = (
-        documents.select(
-            "source",
-            F.explode(
-                F.array_distinct(word_ngrams(tokens(F.col("text")), n))
-            ).alias("gram"),
-        )
+        _gram_table(documents, n, "source", distinct_grams=True)
         .filter(F.col("gram") != "")
         .distinct()
         # referenced 3-4x (both self-join sides, sizes, optional keep):
