@@ -510,10 +510,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         max_shingle_df=20,
     )
     q["dedup_embedding"] = lambda spark, sf: dedup.embedding_dup_pairs(
-        load(spark, sf, "embeddings"), threshold=0.3
+        load(spark, sf, "embeddings", widen=True), threshold=0.3
     )
     q["dedup_embedding_trained"] = lambda spark, sf: dedup.embedding_dup_pairs_trained(
-        load(spark, sf, "embeddings"), threshold=0.3, n_cells=8, iters=2
+        load(spark, sf, "embeddings", widen=True), threshold=0.3, n_cells=8, iters=2
     )
     q["dedup_components"] = lambda spark, sf: dedup.connected_components(
         dedup.minhash_lsh_pairs(_docs_with_near_dups(spark, sf), n=2, threshold=0.5)
@@ -552,7 +552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load(spark, sf, "documents")
     )
     q["semantic_dedup"] = lambda spark, sf: dedup.semantic_dedup(
-        load(spark, sf, "embeddings"), threshold=0.3
+        load(spark, sf, "embeddings", widen=True), threshold=0.3
     )
     q["source_top_terms"] = lambda spark, sf: corpusops.source_top_terms(
         load(spark, sf, "documents"), k=5
@@ -561,7 +561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs_with_near_dups(spark, sf), n=2, threshold=0.5
     )
     q["ann_ivf_range"] = lambda spark, sf: kmeans.ann_ivf_range_search(
-        load(spark, sf, "embeddings"),
+        load(spark, sf, "embeddings", widen=True),
         load(spark, sf, "embeddings").filter(F.col("vec_id") < 5),
         min_sim=0.2,
         n_probe=2,
@@ -594,7 +594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # -- similarity search
     q["ann_bruteforce_topk"] = lambda spark, sf: _cast_long(
         similarity.ann_bruteforce_topk(
-            load(spark, sf, "embeddings"),
+            load(spark, sf, "embeddings", widen=True),
             load(spark, sf, "embeddings").filter(F.col("vec_id") < 5),
             k=10,
         ),
@@ -602,7 +602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["ann_ivf_topk"] = lambda spark, sf: _cast_long(
         similarity.ann_ivf_topk(
-            load(spark, sf, "embeddings"),
+            load(spark, sf, "embeddings", widen=True),
             load(spark, sf, "embeddings").filter(F.col("vec_id") < 5),
             k=10,
         ),
@@ -610,7 +610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["ann_ivf_trained"] = lambda spark, sf: _cast_long(
         kmeans.ann_ivf_trained_topk(
-            load(spark, sf, "embeddings"),
+            load(spark, sf, "embeddings", widen=True),
             load(spark, sf, "embeddings").filter(F.col("vec_id") < 5),
             k=10,
             n_cells=8,
@@ -620,7 +620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["ann_ivf_multiprobe"] = lambda spark, sf: _cast_long(
         kmeans.ann_ivf_multiprobe_topk(
-            load(spark, sf, "embeddings"),
+            load(spark, sf, "embeddings", widen=True),
             load(spark, sf, "embeddings").filter(F.col("vec_id") < 5),
             k=10,
             n_cells=8,

@@ -777,18 +777,39 @@ def embedding_dup_pairs(
     The bucket join bounds the quadratic blow-up; at scale the bucket is an
     IVF cell id from a trained codebook (``embedding_dup_pairs_trained``
     composes the training + assignment in front of this) — here the
-    provided bucket column plays that role."""
-    a = embeddings.alias("a")
-    b = embeddings.alias("b")
+    provided bucket column plays that role.
+
+    r7: norms precomputed once per row (similarity.with_norm) and the
+    pair cosine evaluated ONCE behind a generator barrier — the former
+    inline cosine re-derived both norms per pair AND was re-evaluated by
+    the threshold filter pushed below the projection.  Values are
+    bit-identical (same IEEE subtrees, same operation order)."""
+    from .similarity import cosine_from_norms, with_norm
+
+    e = with_norm(
+        embeddings.select("vec_id", "embedding", bucket_col), "embedding", "_n"
+    )
+    a = e.alias("a")
+    b = e.alias("b")
     return (
         a.join(b, F.col(f"a.{bucket_col}") == F.col(f"b.{bucket_col}"))
         .filter(F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("a_id"),
             F.col("b.vec_id").alias("b_id"),
-            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6).alias(
-                "cos_sim"
-            ),
+            F.explode(
+                F.array(
+                    F.round(
+                        cosine_from_norms(
+                            F.col("a.embedding"),
+                            F.col("b.embedding"),
+                            F.col("a._n"),
+                            F.col("b._n"),
+                        ),
+                        6,
+                    )
+                )
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -1059,6 +1080,13 @@ def semantic_dedup(
         f"'na', aggregate(qv, 0L, (a, v) -> a + v * v), "
         f"'nb', aggregate(cv, 0L, (a, v) -> a + v * v))"
     )
+    from ..functions.columns import l2norm
+    from .similarity import cosine_from_norms
+
+    # The barrier struct also carries the embedding's double L2 norm so
+    # the within-cell pair verify below computes only a dot per pair
+    # (r7; see similarity.with_norm — values bit-identical to the former
+    # per-pair cosine_safe).
     cs = (
         cells.withColumn(
             "cv", F.expr(f"element_at({_cents_literal(cents)}, cell + 1)")
@@ -1067,19 +1095,27 @@ def semantic_dedup(
             "vec_id",
             "embedding",
             "cell",
-            F.explode(F.array(F.expr(stats))).alias("_s"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.expr(stats).alias("q"),
+                        l2norm(F.col("embedding")).alias("nrm"),
+                    )
+                )
+            ).alias("_s"),
         )
         .select(
             "vec_id",
             "embedding",
             "cell",
+            F.col("_s.nrm").alias("_nrm"),
             F.when(
-                (F.col("_s.na") > 0) & (F.col("_s.nb") > 0),
+                (F.col("_s.q.na") > 0) & (F.col("_s.q.nb") > 0),
                 F.round(
-                    F.col("_s.dot").cast("double")
+                    F.col("_s.q.dot").cast("double")
                     / (
-                        F.sqrt(F.col("_s.na").cast("double"))
-                        * F.sqrt(F.col("_s.nb").cast("double"))
+                        F.sqrt(F.col("_s.q.na").cast("double"))
+                        * F.sqrt(F.col("_s.q.nb").cast("double"))
                     ),
                     6,
                 ),
@@ -1088,23 +1124,34 @@ def semantic_dedup(
     )
     a = cs.alias("a")
     b = cs.alias("b")
+    # zero-magnitude guard: the bare cosine quotient would ABORT the
+    # job under ANSI (DIVIDE_BY_ZERO); the when() yields NULL, which
+    # the >= filter drops — identical to the oracle's NULL semantics
+    # (exactly cosine_safe, with the norms read from the barrier).  The
+    # explode barrier makes the pair cosine evaluate ONCE: a filter on a
+    # projected expression is otherwise pushed below the Project by
+    # substitution and re-evaluates it per row.
+    safe_cos = F.when(
+        (F.col("a._nrm") > 0) & (F.col("b._nrm") > 0),
+        cosine_from_norms(
+            F.col("a.embedding"),
+            F.col("b.embedding"),
+            F.col("a._nrm"),
+            F.col("b._nrm"),
+        ),
+    )
     pairs = (
         a.join(b, F.col("a.cell") == F.col("b.cell"))
         .filter(F.col("a.vec_id") != F.col("b.vec_id"))
-        # zero-magnitude guard: the bare cosine quotient would ABORT the
-        # job under ANSI (DIVIDE_BY_ZERO); cosine_safe yields NULL, which
-        # the >= filter drops — identical to the oracle's NULL semantics
-        .withColumn(
-            "_cos",
-            F.round(cosine_safe(F.col("a.embedding"), F.col("b.embedding")), 6),
-        )
-        .filter(F.col("_cos").isNotNull() & (F.col("_cos") >= threshold))
         .select(
             F.col("a.vec_id").alias("vec_id"),
             F.col("b.vec_id").alias("other_id"),
             F.col("a.centroid_sim").alias("my_sim"),
             F.col("b.centroid_sim").alias("other_sim"),
+            F.explode(F.array(F.round(safe_cos, 6))).alias("_cos"),
         )
+        .filter(F.col("_cos").isNotNull() & (F.col("_cos") >= threshold))
+        .select("vec_id", "other_id", "my_sim", "other_sim")
     )
     per = pairs.groupBy("vec_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_dups"),

@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.columns import cosine
-from .similarity import _ranked
+from .similarity import _ranked, cosine_from_norms, with_norm
 
 QUANT_SCALE = 10000
 
@@ -165,26 +165,44 @@ def ann_ivf_multiprobe_topk(
     prunes to exactly the probed cells' files and the corpus never
     shuffles."""
     cents = train_ivf_centroids(embeddings, n_cells=n_cells, iters=iters)
-    corpus = assign_cells(
-        embeddings.select(
-            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    corpus = with_norm(
+        assign_cells(
+            embeddings.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+            ),
+            cents,
+            vec_col="c_emb",
         ),
-        cents,
-        vec_col="c_emb",
+        "c_emb",
+        "_cn",
     )
-    probes = _with_probe_cells(
-        queries.select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("q_emb"),
-            quantized("embedding").alias("qv"),
-        ),
-        cents,
-        n_probe,
-    ).drop("qv")
+    probes = with_norm(
+        _with_probe_cells(
+            queries.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("q_emb"),
+                quantized("embedding").alias("qv"),
+            ),
+            cents,
+            n_probe,
+        ).drop("qv"),
+        "q_emb",
+        "_qn",
+    )
+    # norm precompute + pre-exchange projection (r7): see
+    # similarity.with_norm — scores bit-identical, embeddings no longer
+    # shipped through the two ranking exchanges.
     pairs = (
         corpus.join(F.broadcast(probes), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim_raw", cosine(F.col("q_emb"), F.col("c_emb")))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cell",
+            cosine_from_norms(
+                F.col("q_emb"), F.col("c_emb"), F.col("_qn"), F.col("_cn")
+            ).alias("cos_sim_raw"),
+        )
     )
     # two-stage top-k (similarity._ranked): a single per-query window
     # would land a full probed cell (~n_probe x N/n_cells rows) on one
@@ -203,24 +221,40 @@ def ann_ivf_trained_topk(
     corpus, assign corpus and queries to cells, probe only the query's own
     cell, rank by exact double cosine (desc, neighbor_id asc)."""
     cents = train_ivf_centroids(embeddings, n_cells=n_cells, iters=iters)
-    corpus = assign_cells(
-        embeddings.select(
-            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    corpus = with_norm(
+        assign_cells(
+            embeddings.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+            ),
+            cents,
+            vec_col="c_emb",
         ),
-        cents,
-        vec_col="c_emb",
+        "c_emb",
+        "_cn",
     )
-    probes = assign_cells(
-        queries.select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    probes = with_norm(
+        assign_cells(
+            queries.select(
+                F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+            ),
+            cents,
+            vec_col="q_emb",
         ),
-        cents,
-        vec_col="q_emb",
+        "q_emb",
+        "_qn",
     )
+    # norm precompute + pre-exchange projection (r7, similarity.with_norm)
     pairs = (
         corpus.join(F.broadcast(probes), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim_raw", cosine(F.col("q_emb"), F.col("c_emb")))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cell",
+            cosine_from_norms(
+                F.col("q_emb"), F.col("c_emb"), F.col("_qn"), F.col("_cn")
+            ).alias("cos_sim_raw"),
+        )
     )
     # two-stage top-k: see similarity._ranked (round-3 verdict item 1)
     return _ranked(pairs, k, extra_cols=("cell",))
@@ -248,34 +282,52 @@ def ann_ivf_range_search(
     all, so the plan is join -> filter -> done (strictly cheaper than
     top-k at scale).  cosine_safe: zero-magnitude vectors yield NULL and
     fail the threshold instead of aborting under ANSI."""
-    from ..functions.columns import cosine_safe
-
     cents = train_ivf_centroids(embeddings, n_cells=n_cells, iters=iters)
-    corpus = assign_cells(
-        embeddings.select(
-            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    corpus = with_norm(
+        assign_cells(
+            embeddings.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+            ),
+            cents,
+            vec_col="c_emb",
         ),
-        cents,
-        vec_col="c_emb",
+        "c_emb",
+        "_cn",
     )
-    probes = _with_probe_cells(
-        queries.select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("q_emb"),
-            quantized("embedding").alias("qv"),
+    probes = with_norm(
+        _with_probe_cells(
+            queries.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("q_emb"),
+                quantized("embedding").alias("qv"),
+            ),
+            cents,
+            n_probe,
+        ).drop("qv"),
+        "q_emb",
+        "_qn",
+    )
+    # cosine_safe with precomputed norms (value-identical: same guard,
+    # same quotient — see similarity.with_norm), evaluated ONCE behind a
+    # generator barrier: a filter on a projected expression is otherwise
+    # pushed below the Project by substitution, evaluating the cosine
+    # twice per row (the §4.4-style duplication, for plain expressions).
+    safe_cos = F.when(
+        (F.col("_qn") > 0) & (F.col("_cn") > 0),
+        cosine_from_norms(
+            F.col("q_emb"), F.col("c_emb"), F.col("_qn"), F.col("_cn")
         ),
-        cents,
-        n_probe,
-    ).drop("qv")
+    )
     return (
         corpus.join(F.broadcast(probes), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cos_sim",
-            F.round(cosine_safe(F.col("q_emb"), F.col("c_emb")), 6),
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cell",
+            F.explode(F.array(F.round(safe_cos, 6))).alias("cos_sim"),
         )
         .filter(F.col("cos_sim").isNotNull() & (F.col("cos_sim") >= min_sim))
-        .select("query_id", "neighbor_id", "cell", "cos_sim")
         # a (query, neighbor) pair reachable through BOTH probed cells
         # would duplicate — impossible here (corpus rows hold ONE cell),
         # so no distinct is needed; plan stays join -> filter

@@ -18,11 +18,30 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.columns import cosine
+from ..functions.columns import cosine, dot, l2norm
 from .ranking import two_stage_topk
+
+
+def with_norm(df: DataFrame, vec_col: str, alias: str) -> DataFrame:
+    """df + ``alias`` = l2norm(vec_col), materialized ONCE per row behind
+    a generator barrier (r7).  Inline ``cosine(a, b)`` re-derives both
+    norms per PAIR; for an N-candidate join that is 2N extra interpreted
+    array aggregates per query.  Precomputing the norm per row and
+    writing the pair score as dot / (na * nb) evaluates the identical
+    IEEE expression tree (same l2norm subtree, same multiply/divide
+    order), so scores are bit-for-bit unchanged."""
+    return df.select(
+        "*", F.explode(F.array(l2norm(F.col(vec_col)))).alias(alias)
+    )
+
+
+def cosine_from_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """dot(a, b) / (na * nb) — cosine() with the norms precomputed by
+    :func:`with_norm`; value-identical to ``cosine(a, b)``."""
+    return dot(a, b) / (na * nb)
 
 
 def _ranked(
@@ -54,35 +73,67 @@ def _ranked(
 def ann_bruteforce_topk(
     embeddings: DataFrame, queries: DataFrame, k: int = 10
 ) -> DataFrame:
-    """Exact top-k neighbors of each query vector (excluding itself)."""
-    q = queries.select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    """Exact top-k neighbors of each query vector (excluding itself).
+
+    r7 shape notes: norms are precomputed once per row (with_norm — the
+    inline cosine re-derived both norms per candidate pair), and only
+    (query_id, neighbor_id, cos_sim_raw) survive into the ranking
+    windows — the former plan shipped both raw embedding arrays through
+    both top-k exchanges (guide §2.3 "project before the exchange")."""
+    q = with_norm(
+        queries.select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        ),
+        "q_emb",
+        "_qn",
     )
-    c = embeddings.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    c = with_norm(
+        embeddings.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+        ),
+        "c_emb",
+        "_cn",
     )
-    pairs = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim_raw", cosine(F.col("q_emb"), F.col("c_emb")))
+    pairs = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        cosine_from_norms(
+            F.col("q_emb"), F.col("c_emb"), F.col("_qn"), F.col("_cn")
+        ).alias("cos_sim_raw"),
     )
     return _ranked(pairs, k)
 
 
 def ann_ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame:
-    """IVF-style top-k: probe only the query's own coarse cell (label)."""
-    q = queries.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("label").alias("cell"),
+    """IVF-style top-k: probe only the query's own coarse cell (label).
+    Same r7 norm-precompute + pre-exchange projection as the brute path."""
+    q = with_norm(
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("label").alias("cell"),
+        ),
+        "q_emb",
+        "_qn",
     )
-    c = embeddings.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("c_emb"),
-        F.col("label").alias("cell"),
+    c = with_norm(
+        embeddings.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("c_emb"),
+            F.col("label").alias("cell"),
+        ),
+        "c_emb",
+        "_cn",
     )
     pairs = (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim_raw", cosine(F.col("q_emb"), F.col("c_emb")))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_from_norms(
+                F.col("q_emb"), F.col("c_emb"), F.col("_qn"), F.col("_cn")
+            ).alias("cos_sim_raw"),
+        )
     )
     return _ranked(pairs, k)
