@@ -38,7 +38,11 @@ from tei_chunker_spark.operators import (
     textstats,
     udtfs,
 )
-from tei_chunker_spark.operators.extract import extract_pipeline, section_metadata_pipeline
+from tei_chunker_spark.operators.extract import (
+    extract_pipeline,
+    media_ref_pipeline,
+    section_metadata_pipeline,
+)
 from tei_chunker_spark.sources.tables import load, table_size, widen_small
 
 # Golden fixtures: the interleaved corpus is a pure function of doc_id, so
@@ -458,9 +462,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["media_features_stub"] = lambda spark, sf: multimodal.media_features(
         multimodal.attach_payloads(
-            extract_pipeline(_interleaved_corpus(spark, sf), _FLAGSHIP_JOB_PRESPREAD)
-            .filter(F.col("kind") == "media_ref")
-            .select("doc_id", "media_ref")
+            # media-only projection: no chunker pass (extract.media_ref_pipeline)
+            media_ref_pipeline(_interleaved_corpus(spark, sf))
         )
     )
     q["extract_sections"] = lambda spark, sf: section_metadata_pipeline(
@@ -469,9 +472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["media_frame_sample"] = lambda spark, sf: _cast_long(
         multimodal.media_frame_sample(
             multimodal.attach_payloads(
-                extract_pipeline(_interleaved_corpus(spark, sf), _FLAGSHIP_JOB_PRESPREAD)
-                .filter(F.col("kind") == "media_ref")
-                .select("doc_id", "media_ref")
+                media_ref_pipeline(_interleaved_corpus(spark, sf))
             )
         ),
         ["frame_idx"],
@@ -796,12 +797,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # codes stringified: the cross-engine compare hashes scalar columns
     # (array renderings differ between pandas/numpy producers)
     q["embed_quantize"] = lambda spark, sf: quantize.embed_quantize(
-        load(spark, sf, "embeddings")
+        load(spark, sf, "embeddings", widen=True)
     ).select(
         "vec_id", F.concat_ws(",", "codes").alias("codes_csv"), "max_err"
     )
     q["pq_encode"] = lambda spark, sf: quantize.pq_encode(
-        load(spark, sf, "embeddings"), m=4, n_cells=8, iters=2
+        load(spark, sf, "embeddings", widen=True), m=4, n_cells=8, iters=2
     ).select(
         "vec_id", F.concat_ws(",", "codes").alias("codes_csv"), "qdist"
     )
@@ -818,7 +819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # is the correctness check
     q["ivf_pq_topk"] = lambda spark, sf: _cast_long(
         quantize.ivf_pq_topk(
-            load(spark, sf, "embeddings"),
+            load(spark, sf, "embeddings", widen=True),
             load(spark, sf, "embeddings").filter(F.col("vec_id") < 5),
             k=10,
         ),
@@ -826,7 +827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["ivf_pq_multiprobe"] = lambda spark, sf: _cast_long(
         quantize.ivf_pq_multiprobe_topk(
-            load(spark, sf, "embeddings"),
+            load(spark, sf, "embeddings", widen=True),
             load(spark, sf, "embeddings").filter(F.col("vec_id") < 5),
             k=10,
             n_probe=2,
@@ -861,7 +862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["pq_adc_topk"] = lambda spark, sf: _cast_long(
         quantize.pq_adc_topk(
-            load(spark, sf, "embeddings"),
+            load(spark, sf, "embeddings", widen=True),
             load(spark, sf, "embeddings").filter(F.col("vec_id") < 5),
             k=10,
         ),

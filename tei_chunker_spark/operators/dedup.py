@@ -692,12 +692,15 @@ def connected_components(
         .distinct()
         .select(F.col("u").alias("node"))
     )
-    sym = _symmetric(edges).localCheckpoint(eager=True)
+    # Lazy checkpoints (r7): the signature collect that follows each
+    # round materializes the checkpoint inside its own action — one job
+    # per round instead of two (ckpt job + signature job).
+    sym = _symmetric(edges).localCheckpoint(eager=False)
     sig = _edge_set_signature(sym)
     for i in range(max_iterations):
         new_sym = _star(_star(sym, larger=True), larger=False)
         if (i + 1) % checkpoint_every == 0:
-            new_sym = new_sym.localCheckpoint(eager=True)
+            new_sym = new_sym.localCheckpoint(eager=False)
         new_sig = _edge_set_signature(new_sym)
         sym = new_sym
         if new_sig == sig:

@@ -158,6 +158,31 @@ def extract_pipeline(df: DataFrame, job: JobConfig) -> DataFrame:
     )
 
 
+def media_ref_pipeline(df: DataFrame) -> DataFrame:
+    """documents(doc_id, spans) -> (doc_id, media_ref): every media span's
+    ref, one row each — the media-only projection of ``extract_pipeline``.
+
+    The full pipeline parses and chunks every document's TEXT and then a
+    media-only consumer filters kind == 'media_ref', throwing the chunks
+    away — at 100 TB that is a full XML-parse pass for nothing (guide
+    §1.2: don't compute things you discard).  Media passthrough is
+    unconditional in the chunker (reference semantics: media spans are
+    emitted even when the XML is malformed and yields zero text chunks),
+    and a media-only consumer ignores the offset column, so the multiset
+    of (doc_id, media_ref) rows is exactly the input's media spans —
+    computable as a NARROW projection: no salt shuffle, no XML reassembly,
+    no Python stage.  Identity with the filtered full pipeline is pinned
+    by test_media_ref_pipeline_matches_filtered_extract."""
+    refs = F.coalesce(
+        F.transform(
+            F.filter(F.col("spans"), lambda s: s["kind"] == "media"),
+            lambda s: s["media_ref"],
+        ),
+        F.array().cast("array<string>"),
+    )
+    return df.select("doc_id", F.explode(refs).alias("media_ref"))
+
+
 def section_metadata_pipeline(df: DataFrame, job: JobConfig) -> DataFrame:
     """documents(doc_id, spans) -> per-document top-level section metadata.
 

@@ -129,14 +129,16 @@ def pq_train(
     from .kmeans import quantized
 
     m = int(m)
-    dim = len(embeddings.select("embedding").first().embedding)
-    if dim % m != 0:
-        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
-    w = dim // m
     q = embeddings.select(
         F.col("vec_id").alias("_id"), quantized("embedding").alias("qv")
     )
     init = [list(r.qv) for r in q.orderBy("_id").limit(int(n_cells)).collect()]
+    # dim read from the init collect (r7) — the former dedicated
+    # ``.first()`` was a whole extra sequential driver job per training.
+    dim = len(init[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    w = dim // m
     books = [[v[j * w : (j + 1) * w] for v in init] for j in range(m)]
     for _ in range(int(iters)):
         with_d = q.select(
@@ -239,6 +241,30 @@ def pq_encode(
     )
 
 
+def _train_both(embeddings: DataFrame, n_cells: int, m: int, pq_cells: int,
+                iters: int):
+    """Run the coarse IVF training and the PQ codebook training
+    CONCURRENTLY from two driver threads (guide §2.6 "overlap independent
+    jobs"): the two trainings share no state — each is its own
+    deterministic sequence of assignment jobs + 1-row-per-(cell,dim)
+    collects — and each iteration's job leaves most executors idle while
+    the driver folds centroid sums, so interleaving the two job streams
+    back-fills that idle time.  Results are identical to the sequential
+    composition (both trainings are pure functions of the input)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from .kmeans import train_ivf_centroids
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        coarse_f = pool.submit(
+            train_ivf_centroids, embeddings, n_cells=n_cells, iters=iters
+        )
+        books_f = pool.submit(
+            pq_train, embeddings, m=m, n_cells=pq_cells, iters=iters
+        )
+        return coarse_f.result(), books_f.result()
+
+
 def pq_adc_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -333,8 +359,9 @@ def ivf_pq_topk(
     from .kmeans import assign_cells, train_ivf_centroids
     from .ranking import two_stage_topk
 
-    coarse = train_ivf_centroids(embeddings, n_cells=n_cells, iters=iters)
-    books, w = pq_train(embeddings, m=m, n_cells=pq_cells, iters=iters)
+    coarse, (books, w) = _train_both(
+        embeddings, n_cells=n_cells, m=m, pq_cells=pq_cells, iters=iters
+    )
     m = int(m)
     corpus_cells = assign_cells(
         embeddings.select("vec_id", "embedding"), coarse
@@ -402,8 +429,9 @@ def ivf_pq_multiprobe_topk(
     from .kmeans import _with_probe_cells, assign_cells, quantized, train_ivf_centroids
     from .ranking import two_stage_topk
 
-    coarse = train_ivf_centroids(embeddings, n_cells=n_cells, iters=iters)
-    books, w = pq_train(embeddings, m=m, n_cells=pq_cells, iters=iters)
+    coarse, (books, w) = _train_both(
+        embeddings, n_cells=n_cells, m=m, pq_cells=pq_cells, iters=iters
+    )
     m = int(m)
     corpus = _pq_with_dists(embeddings, books, w).select(
         F.col("vec_id").alias("neighbor_id"),

@@ -39,3 +39,31 @@ def test_media_features_stub(spark, media_df):
 def test_real_decode_is_explicitly_unimplemented(media_df):
     with pytest.raises(NotImplementedError, match="codec"):
         multimodal.media_features(media_df, decode_fn=None)
+
+
+def test_media_ref_pipeline_matches_filtered_extract(spark):
+    """The r7 media-only projection (no chunker pass) must produce the
+    exact multiset the full pipeline's kind == 'media_ref' filter does —
+    including malformed-XML docs (media passthrough is unconditional)
+    and NULL spans (degrade to zero rows)."""
+    from tei_chunker_spark.config import ChunkerConfig, JobConfig
+    from tei_chunker_spark.corpus import INPUT_SCHEMA_DDL, make_rows
+    from tei_chunker_spark.operators.extract import (
+        extract_pipeline,
+        media_ref_pipeline,
+    )
+
+    rows = make_rows([f"mr{i}" for i in range(40)])
+    df = spark.createDataFrame(rows, INPUT_SCHEMA_DDL)
+    job = JobConfig(chunker=ChunkerConfig(500, 50), shuffle_partitions=8)
+    full = sorted(
+        (r.doc_id, r.media_ref)
+        for r in extract_pipeline(df, job)
+        .filter("kind = 'media_ref'")
+        .select("doc_id", "media_ref")
+        .collect()
+    )
+    narrow = sorted(
+        (r.doc_id, r.media_ref) for r in media_ref_pipeline(df).collect()
+    )
+    assert full == narrow and len(full) > 0
