@@ -524,7 +524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup.minhash_lsh_pairs(_docs_with_near_dups(spark, sf), n=2, threshold=0.5),
     )
     q["dedup_substring"] = lambda spark, sf: dedup.substring_dup_spans(
-        _docs_with_near_dups(spark, sf), k=8
+        _docs_with_near_dups(spark, sf, widen=True), k=8
     )
     q["dedup_incremental"] = lambda spark, sf: dedup.incremental_dedup_census(
         *_incremental_split(spark, sf)
@@ -547,10 +547,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         max_shingle_df=20,
     )
     q["winnow_census"] = lambda spark, sf: textstats.winnow_fingerprint_census(
-        _docs_with_near_dups(spark, sf), k=3, w=4
+        _docs_with_near_dups(spark, sf, widen=True), k=3, w=4
     )
     q["lm_bigram_score"] = lambda spark, sf: corpusops.lm_bigram_score(
-        load(spark, sf, "documents")
+        load(spark, sf, "documents", widen=True)
     )
     q["semantic_dedup"] = lambda spark, sf: dedup.semantic_dedup(
         load(spark, sf, "embeddings", widen=True), threshold=0.3

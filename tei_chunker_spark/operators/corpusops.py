@@ -579,8 +579,9 @@ def curation_census(
     (hash agg / scalar projections / broadcast gram join); the census
     rows are four scalar aggregates over the narrow id-tables.
     Everything is splittable; nothing collects to the driver.  Each
-    gate's survivor id-table is materialized once (eager
-    localCheckpoint — the narrow doc_id-only table, never the text) so
+    gate's survivor id-table is materialized once (lazy
+    localCheckpoint — the narrow doc_id-only table, never the text;
+    blocks land at the first action, r7) so
     the census union does NOT re-run upstream lineage per branch
     (round-4 judge find: uncheckpointed, the dedup aggregate executed
     ~4×, doc_quality ~3×, the contamination join ~2× — several
@@ -594,14 +595,14 @@ def curation_census(
         documents.groupBy(F.md5("text").alias("_h"))
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     g1 = documents.join(keep1, "doc_id", "left_semi")
     keep2 = (
         doc_quality(g1)
         .filter(F.col("quality") >= quality_min)
         .select("doc_id")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     g2 = g1.join(keep2, "doc_id", "left_semi")
     keep3 = (
@@ -610,7 +611,7 @@ def curation_census(
             F.coalesce(F.col("contamination"), F.lit(0.0)) <= contamination_max
         )
         .select("doc_id")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     def stage(df: DataFrame, label: str) -> DataFrame:
         return df.select(
@@ -920,7 +921,7 @@ def _bpe_train_states(documents: DataFrame, n_merges: int):
         .agg(F.count(F.lit(1)).alias("freq"))
         .withColumn("enc", F.regexp_replace("word", "(.)", f"{L}$1{R}"))
         .select("word", "enc", "freq")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # symbol array back out of the delimited string; Spark's
     # sequence(1, 0) DESCENDS ([1, 0]) where DuckDB's generate_series is
@@ -959,7 +960,7 @@ def _bpe_train_states(documents: DataFrame, n_merges: int):
                 F.col("enc").contains(pattern),
                 F.replace("enc", F.lit(pattern), F.lit(repl)),
             ).otherwise(F.col("enc")),
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     merges_df = spark.createDataFrame(
         merges,
         "step long, left string, right string, merged string, "
@@ -1142,7 +1143,7 @@ def lm_bigram_score(documents: DataFrame) -> DataFrame:
     dbg = (
         tr.groupBy("doc_id", "w1", "w2")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     bg = dbg.groupBy("w1", "w2").agg(
         F.sum("cnt").cast("decimal(38,0)").alias("c12")
@@ -1314,7 +1315,7 @@ def source_overlap_matrix(
         # referenced 3-4x (both self-join sides, sizes, optional keep):
         # materialize once instead of re-tokenizing the corpus per
         # reference (ContextCleaner-managed — see dedup.jaccard_pairs)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     if max_gram_sources is not None:
         keep = (
