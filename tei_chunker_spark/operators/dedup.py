@@ -69,7 +69,9 @@ def shingle_table(documents: DataFrame, n: int = 2) -> DataFrame:
     )
 
 
-def minhash_signatures_from(shingles: DataFrame) -> DataFrame:
+def minhash_signatures_from(
+    shingles: DataFrame, with_size: bool = False
+) -> DataFrame:
     """k=4 MinHash signature from a (doc_id, shingle) posting table: per
     seed, the lexicographic min of md5(seed || shingle) over the doc's
     word-n-gram set.
@@ -79,11 +81,19 @@ def minhash_signatures_from(shingles: DataFrame) -> DataFrame:
     downstream band joins touch plain columns, never the shingle
     expression tree.  Docs with zero shingles drop out here — they can't
     produce candidates anyway (the expression-version would carry NULLs
-    into the band join, where they'd be dropped by the equi-join)."""
+    into the band join, where they'd be dropped by the equi-join).
+
+    ``with_size`` (r7) folds the doc's shingle count into the SAME
+    aggregate pass as a ``set_size`` column, so minhash_lsh_pairs can
+    reuse one doc-level aggregate for signatures, Jaccard denominators,
+    and band eligibility instead of three separate passes over the
+    posting table."""
     aggs = [
         F.min(F.md5(F.concat(F.lit(seed), F.col("shingle")))).alias(f"mh{i}")
         for i, seed in enumerate(MINHASH_SEEDS)
     ]
+    if with_size:
+        aggs.append(F.count(F.lit(1)).alias("set_size"))
     return shingles.groupBy("doc_id").agg(*aggs)
 
 
@@ -96,13 +106,19 @@ def jaccard_pairs(
     candidates: DataFrame = None,
     threshold: float = 0.5,
     max_shingle_df: int = None,
+    sizes: DataFrame = None,
 ) -> DataFrame:
     """Exact Jaccard over shingle sets for doc pairs (a_id < b_id).
 
     With ``candidates`` (a_id, b_id) the verify is restricted to those
     pairs; otherwise all pairs sharing >= 1 shingle are scored.
     ``max_shingle_df`` drops shingles whose document frequency exceeds the
-    cap before pairing (posting-list guillotine for scale)."""
+    cap before pairing (posting-list guillotine for scale).  ``sizes``
+    (r7) lets a caller that already aggregated per-doc shingle counts
+    (minhash_lsh_pairs folds them into the signature aggregate) pass the
+    (doc_id, set_size) table instead of paying a second full pass over
+    the postings here; only valid when it equals
+    ``shingles.groupBy(doc_id).count()`` over THESE postings."""
     has_df_col = False
     if max_shingle_df is not None:
         # ONE corpus tokenize pass + ONE df aggregate (r7, guide §1.2 /
@@ -127,7 +143,10 @@ def jaccard_pairs(
             dfs.filter(F.col("_df") <= max_shingle_df), "shingle"
         ).localCheckpoint(eager=False)
         has_df_col = True
-    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    if sizes is None:
+        sizes = shingles.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("set_size")
+        )
     if candidates is not None:
         # Verify-only-candidates: route the posting join THROUGH the pair
         # list instead of exploding all co-occurring docs — |pairs| x
@@ -429,7 +448,14 @@ def minhash_lsh_pairs(
     else:
         mapping, docs = None, documents
     sh = shingle_table(docs, n).localCheckpoint(eager=False)
-    sig = minhash_signatures_from(sh)
+    # ONE doc-level aggregate (r7): signatures + set_size in the same
+    # pass, lazily checkpointed — it feeds the band postings, the Jaccard
+    # denominators, AND band eligibility below (pre-r7: three separate
+    # full passes over the posting table — signature agg, sizes agg, and
+    # a distinct doc_id agg).
+    sig = minhash_signatures_from(sh, with_size=True).localCheckpoint(
+        eager=False
+    )
     # F.concat (not concat_ws): NULL-propagating like SQL ||, so a doc with
     # no shingles gets a NULL band and drops out of the equi-join cleanly.
     # Both bands go through ONE posting table keyed (band_idx, band_val)
@@ -459,12 +485,16 @@ def minhash_lsh_pairs(
         .select(F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id"))
         .distinct()
     )
-    pairs = jaccard_pairs(sh, cands, threshold)
+    pairs = jaccard_pairs(
+        sh, cands, threshold, sizes=sig.select("doc_id", "set_size")
+    )
     if collapse_exact:
         pairs = _expand_rep_pairs(
             pairs,
             mapping,
-            eligible_reps=sh.select("doc_id").distinct(),
+            # sig has exactly one row per doc with >= 1 shingle — the
+            # same set as sh.select("doc_id").distinct(), minus the agg
+            eligible_reps=sig.select("doc_id"),
             # Identical texts: intersection == union, jaccard exactly 1.0
             # (still subject to the caller's threshold, like any pair).
             within_literals={"jaccard": F.lit(1.0)},
