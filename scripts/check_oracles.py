@@ -18,6 +18,18 @@ import os
 import sys
 import time
 
+
+def _git_head() -> str:
+    try:
+        import subprocess
+
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, cwd="/root/repo", timeout=10,
+        ).stdout.strip()
+    except Exception:
+        return ""
+
 import duckdb
 import pandas as pd
 
@@ -89,6 +101,11 @@ def main() -> None:
                 for c in diff_cols[:2]:
                     mask = a[c] != b[c]
                     print(f"  {c}: spark={a[c][mask].head(3).tolist()} duck={b[c][mask].head(3).tolist()}")
+        # per-entry ts + git head (round-6 advisory): the artifact merges
+        # results across runs, so each entry carries its own recording
+        # moment — stale evidence is detectable per query, not just per
+        # file.
+        stamp = {"ts": int(time.time()), "git": _git_head()}
         if status:
             failures.append(name)
             results[name] = {
@@ -96,6 +113,7 @@ def main() -> None:
                 "spark_rows": len(sdf),
                 "oracle_rows": len(odf),
                 "err": "; ".join(status),
+                **stamp,
             }
             print(f"[MISMATCH  ] {name}: {'; '.join(status)}")
         else:
@@ -103,6 +121,7 @@ def main() -> None:
                 "pass": True,
                 "spark_rows": len(sdf),
                 "oracle_rows": len(odf),
+                **stamp,
             }
             print(f"[OK        ] {name}: {len(sdf)} rows")
     print()

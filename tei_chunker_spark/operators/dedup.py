@@ -228,7 +228,15 @@ def containment_pairs(
     guillotine), df>=2 join-side filter, hash-agg intersection — linear
     fan-in, no all-pairs.  The df cap is MORE defensible here than for
     Jaccard: a boilerplate shingle shared by B docs contributes B² pair
-    rows but raises containment of full-page dups by at most 1/|src|."""
+    rows but raises containment of full-page dups by at most 1/|src| —
+    NOTE (round-6 advisory) that bound holds for the intersection only;
+    with ``max_shingle_df`` set, |src| itself is the CAPPED shingle
+    count (sizes are computed post-cap so the ratio's numerator and
+    denominator stay consistent), so a doc composed mostly of
+    above-cap boilerplate keeps few shingles and can reach containment
+    1.0 on a small absolute overlap.  Pair the cap with a minimum
+    retained-set-size filter downstream if that matters for the
+    corpus."""
     has_df_col = False
     if max_shingle_df is not None:
         # Same one-tokenize / one-df-aggregate shape as jaccard_pairs
@@ -1076,6 +1084,7 @@ def semantic_dedup(
     threshold: float = 0.95,
     n_cells: int = 8,
     iters: int = 2,
+    max_cell_rows: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     web-scale through semantic deduplication"): cluster the embedding
@@ -1099,12 +1108,38 @@ def semantic_dedup(
     IVF op here); assignment is a narrow broadcast map; the quadratic
     verify is bounded per cell; the keep rule is one hash agg over the
     pair table.  Output one row per vector: (vec_id, cell, centroid_sim,
-    n_dups, kept)."""
+    n_dups, kept).
+
+    THE n_cells KNOB IS THE SCALE CONTRACT (round-6 verdict): the verify
+    is O(max_cell²), so n_cells must grow ~ corpus_size / target_cell
+    (the SemDeDup paper uses ~10^5 clusters at web scale) — the default
+    8 is a fixture-sized toy.  ``max_cell_rows`` is the guillotine that
+    makes a mis-sized run fail LOUDLY instead of running an effectively
+    all-pairs join: when set, one extra tiny aggregate checks per-cell
+    occupancy and raises if any cell exceeds the bound (same discipline
+    as jaccard's max_shingle_df).  Default None: no extra job, output
+    byte-identical either way — results never depend on the knob."""
     from .kmeans import _cents_literal, _with_cell, quantized, train_ivf_centroids
 
     cents = train_ivf_centroids(embeddings, n_cells=n_cells, iters=iters)
     q = embeddings.select("vec_id", "embedding", quantized("embedding").alias("qv"))
     cells = _with_cell(q, cents)
+    if max_cell_rows is not None:
+        hot = (
+            cells.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > int(max_cell_rows))
+            .orderBy(F.col("n").desc())
+            .limit(1)
+            .collect()
+        )
+        if hot:
+            raise ValueError(
+                f"semantic_dedup: cell {hot[0].n} rows exceeds "
+                f"max_cell_rows={max_cell_rows}; the within-cell verify is "
+                f"O(cell^2) — raise n_cells (~corpus_size/target_cell, "
+                f"SemDeDup uses ~1e5 clusters at web scale) or the bound"
+            )
     # integer dot/norms behind a generator barrier (one eval per row, not
     # one per downstream reference — see _tokens_materialized)
     stats = (

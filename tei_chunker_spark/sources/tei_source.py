@@ -118,6 +118,12 @@ class SpanSinkWriter(DataSourceWriter):
         # run's commit messages is stale.  Runs in BOTH modes — an
         # append-mode commit after a crashed prior run must reclaim the
         # crash's temps too (round-4 advisory + round-5 follow-up).
+        # CONTRACT (round-6 advisory): one writer per output path at a
+        # time.  A second CONCURRENT append writer's in-flight temps are
+        # indistinguishable from crash orphans and would be reclaimed
+        # here, failing that writer's commit at os.replace.  Serialize
+        # writers per path (the job driver already does) or give each
+        # writer its own path.
         ours = {os.path.basename(m.tmp_file) for m in messages}
         for f in os.listdir(self.path):
             if (

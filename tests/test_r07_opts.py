@@ -121,3 +121,22 @@ def test_norm_precompute_cosine_bit_identical(spark):
         .filter(F.col("inline") != F.col("precomp"))
     )
     assert both.count() == 0
+
+
+def test_semantic_dedup_cell_guillotine(spark):
+    """max_cell_rows must fail LOUDLY when a cell's occupancy makes the
+    within-cell verify quadratic-by-corpus (round-6 verdict item 1), and
+    must not change results when the bound holds."""
+    import pytest
+
+    rows = [(i, [1.0 + (i % 3) * 1e-4] * 8) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # near-identical vectors: k-means piles (almost) everything into few
+    # cells -> the bound must trip
+    with pytest.raises(ValueError, match="max_cell_rows"):
+        dedup.semantic_dedup(emb, threshold=0.99, n_cells=4, max_cell_rows=5)
+    unguarded = sorted(map(tuple, dedup.semantic_dedup(
+        emb, threshold=0.99, n_cells=4).collect()))
+    guarded = sorted(map(tuple, dedup.semantic_dedup(
+        emb, threshold=0.99, n_cells=4, max_cell_rows=100).collect()))
+    assert unguarded == guarded and unguarded
