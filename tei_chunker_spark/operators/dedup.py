@@ -610,41 +610,61 @@ def simhash_banded_pairs(
     return pairs
 
 
-def _symmetric(edges: DataFrame) -> DataFrame:
-    """Undirected edge set as both directed rows, deduped, no self-loops."""
+def _canonical_edges(edges: DataFrame) -> DataFrame:
+    """Undirected edge set in canonical orientation (u < v), distinct, no
+    self-loops — HALF the rows of the symmetric representation, so every
+    per-round distinct, checkpoint and signature aggregate touches half
+    the bytes (guide §2.3: shuffle fewer bytes)."""
     return (
         edges.filter(F.col("u") != F.col("v"))
-        .unionByName(
-            edges.select(F.col("v").alias("u"), F.col("u").alias("v")).filter(
-                F.col("u") != F.col("v")
-            )
+        .select(
+            F.least(F.col("u"), F.col("v")).alias("u"),
+            F.greatest(F.col("u"), F.col("v")).alias("v"),
         )
         .distinct()
     )
 
 
-def _star(sym: DataFrame, larger: bool) -> DataFrame:
+def _sym_view(canon: DataFrame) -> DataFrame:
+    """Symmetric (both-directions) view of a canonical edge set.  FREE of
+    any shuffle: with u < v on every row the two orientations are disjoint,
+    so the union needs no distinct — the r7 rewrite that removed one
+    full-set distinct Exchange per star operation."""
+    return canon.unionByName(
+        canon.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+
+
+def _star(canon: DataFrame, larger: bool) -> DataFrame:
     """One star operation (Kiveris et al., "Connected Components in
     MapReduce and Beyond", algorithms 3/4).
 
     Per node u with neighborhood G(u) and m = min(G(u) + {u}):
     large-star connects every STRICTLY LARGER neighbor to m,
     small-star every neighbor <= u; both also connect u itself to m.
-    Input/output are symmetric edge sets."""
+    Input/output are canonical edge sets (the filter conditions see the
+    full symmetric neighborhood via ``_sym_view``, so the emitted edge
+    SET is identical to the textbook symmetric formulation).  Two
+    Exchanges per star: the neighborhood-min aggregate and the output
+    distinct — the center edges need no separate distinct (subsumed by
+    the output distinct) and the symmetric view needs none at all."""
+    sym = _sym_view(canon)
     mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
     j = sym.join(mins, "u").select(
         "u", "v", F.least(F.col("u"), F.col("mn")).alias("m")
     )
     cond = (F.col("v") > F.col("u")) if larger else (F.col("v") <= F.col("u"))
     out = j.filter(cond).select(F.col("v").alias("u"), F.col("m").alias("v"))
-    out = out.unionByName(j.select("u", F.col("m").alias("v")).distinct())
-    return _symmetric(out)
+    out = out.unionByName(j.select("u", F.col("m").alias("v")))
+    return _canonical_edges(out)
 
 
 def _edge_set_signature(sym: DataFrame) -> tuple:
     """(count, decimal-sum of xxhash64(u, v), bit_xor of xxhash64(u, v)) in
     ONE action / one tiny aggregate — an order-independent fingerprint of a
-    distinct edge set.  The decimal(38,0) sum cannot overflow below ~10^18
+    distinct edge set (r7: fed the canonical one-orientation set, half the
+    rows of the former symmetric set, same fixed-point detection — the two
+    representations are bijective).  The decimal(38,0) sum cannot overflow below ~10^18
     edges (ANSI mode would raise loudly, never wrap) and the xor adds an
     independent 64 bits; two distinct edge sets colliding on count + both
     checksums is a ~2^-128 event, and the terminal star-forest assertion
@@ -723,7 +743,15 @@ def connected_components(
     are emitted, so a checksum collision or a pathological composed-round
     fixed point can never mislabel — it raises.  Deterministic output.
     """
-    edges = pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
+    # Checkpoint the NARROW (u, v) projection of the pair table first:
+    # both the node universe and the edge loop derive from it, so the
+    # pair-finding pipeline upstream (banding, grouping, verify joins)
+    # runs exactly once — previously `nodes` replayed everything above
+    # the pair table a second time inside the final label job (r7;
+    # guide §1.2 "don't compute what you already computed").
+    edges = pairs.select(
+        F.col("a_id").alias("u"), F.col("b_id").alias("v")
+    ).localCheckpoint(eager=False)
     nodes = (
         edges.select("u")
         .unionByName(edges.select(F.col("v").alias("u")))
@@ -732,16 +760,20 @@ def connected_components(
     )
     # Lazy checkpoints (r7): the signature collect that follows each
     # round materializes the checkpoint inside its own action — one job
-    # per round instead of two (ckpt job + signature job).
-    sym = _symmetric(edges).localCheckpoint(eager=False)
-    sig = _edge_set_signature(sym)
+    # per round instead of two (ckpt job + signature job).  Edges live in
+    # canonical (u < v) orientation throughout — half the checkpointed
+    # rows, half the distinct/signature bytes; the symmetric view each
+    # star needs is a free disjoint union (_sym_view).
+    canon = _canonical_edges(edges).localCheckpoint(eager=False)
+    sig = _edge_set_signature(canon)
     for i in range(max_iterations):
-        new_sym = _star(_star(sym, larger=True), larger=False)
+        new_canon = _star(_star(canon, larger=True), larger=False)
         if (i + 1) % checkpoint_every == 0:
-            new_sym = new_sym.localCheckpoint(eager=False)
-        new_sig = _edge_set_signature(new_sym)
-        sym = new_sym
+            new_canon = new_canon.localCheckpoint(eager=False)
+        new_sig = _edge_set_signature(new_canon)
+        canon = new_canon
         if new_sig == sig:
+            sym = _sym_view(canon)
             _assert_star_forest(sym)
             mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
             return nodes.join(
