@@ -43,7 +43,7 @@ from tei_chunker_spark.operators.extract import (
     media_ref_pipeline,
     section_metadata_pipeline,
 )
-from tei_chunker_spark.sources.tables import load, table_size, widen_small
+from tei_chunker_spark.sources.tables import load, table_rows, table_size, widen_small
 
 # Golden fixtures: the interleaved corpus is a pure function of doc_id, so
 # the extraction family's expected output is precomputed with the pure-
@@ -112,16 +112,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _docs_with_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _docs_with_exact_dups(
+    spark: SparkSession, sf_dir: str, widen: bool | str = False
+) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     dups = d.filter(F.col("doc_id") % 25 == 0).select(
         (F.col("doc_id") + 200000).alias("doc_id"), "text"
     )
-    return d.select("doc_id", "text").unionByName(dups)
+    u = d.select("doc_id", "text").unionByName(dups)
+    if not widen:
+        return u
+    rows = table_rows(sf_dir, "documents") if widen == "auto" else None
+    return widen_small(u, table_size(sf_dir, "documents"), rows=rows)
 
 
 def _docs_with_near_dups(
-    spark: SparkSession, sf_dir: str, widen: bool = False
+    spark: SparkSession, sf_dir: str, widen: bool | str = False
 ) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     dups = d.filter(F.col("doc_id") % 20 == 0).select(
@@ -129,9 +135,13 @@ def _docs_with_near_dups(
         F.concat(F.lit("dup variant "), F.col("text")).alias("text"),
     )
     u = d.select("doc_id", "text").unionByName(dups)
+    if not widen:
+        return u
     # widen AFTER the union so one round-robin exchange serves both
-    # branches (guide §2.5; size-gated no-op at production scale).
-    return widen_small(u, table_size(sf_dir, "documents")) if widen else u
+    # branches (guide §2.5; size-gated no-op at production scale;
+    # "auto" additionally requires the row floor — see tables.py).
+    rows = table_rows(sf_dir, "documents") if widen == "auto" else None
+    return widen_small(u, table_size(sf_dir, "documents"), rows=rows)
 
 
 def _docs_with_case_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -530,19 +540,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         *_incremental_split(spark, sf)
     )
     q["bm25_topk"] = lambda spark, sf: retrieval.bm25_topk(
-        load(spark, sf, "documents"), "hash join vector", k=15
+        load(spark, sf, "documents", widen="auto"), "hash join vector", k=15
     )
     q["bm25_batch"] = lambda spark, sf: retrieval.bm25_topk_batch(
-        load(spark, sf, "documents"), _bm25_queries(spark), k=10
+        load(spark, sf, "documents", widen="auto"), _bm25_queries(spark), k=10
     )
     q["phrase_match"] = lambda spark, sf: retrieval.phrase_match_census(
-        load(spark, sf, "documents"), "hash join"
+        load(spark, sf, "documents", widen="auto"), "hash join"
     )
     q["cdc_segments"] = lambda spark, sf: corpusops.cdc_segment_census(
-        _docs_with_near_dups(spark, sf)
+        _docs_with_near_dups(spark, sf, widen="auto")
     )
     q["dedup_containment"] = lambda spark, sf: dedup.containment_pairs(
-        dedup.shingle_table(_docs_with_near_dups(spark, sf), n=2),
+        dedup.shingle_table(_docs_with_near_dups(spark, sf, widen="auto"), n=2),
         threshold=0.9,
         max_shingle_df=20,
     )
@@ -771,7 +781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ["n_total", "n_sampled"],
     )
     q["boilerplate_stats"] = lambda spark, sf: corpusops.boilerplate_stats(
-        _docs_with_exact_dups(spark, sf)
+        _docs_with_exact_dups(spark, sf, widen="auto")
     )
     q["doc_familiarity"] = lambda spark, sf: corpusops.doc_familiarity(
         load(spark, sf, "documents")
@@ -780,7 +790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load(spark, sf, "documents"), n=2, k=20
     )
     q["doc_top_terms"] = lambda spark, sf: corpusops.doc_top_terms(
-        load(spark, sf, "documents"), k=3
+        load(spark, sf, "documents", widen="auto"), k=3
     )
     q["doc_segments_udtf"] = lambda spark, sf: udtfs.doc_segments(
         spark, load(spark, sf, "documents"), width=20
@@ -789,7 +799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # -- round-5 additions: vocab census, provenance report, SQ8
     # quantization, grouping sets, decile histogram
     q["vocab_coverage"] = lambda spark, sf: corpusops.vocab_coverage(
-        load(spark, sf, "documents"), k=50
+        load(spark, sf, "documents", widen="auto"), k=50
     )
     q["source_stats"] = lambda spark, sf: corpusops.source_stats(
         load(spark, sf, "documents")

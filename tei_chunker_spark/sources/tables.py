@@ -40,6 +40,25 @@ _SCHEMA_MEMO: dict[str, StructType] = {}
 # to the per-row compute it parallelizes.
 _WIDEN_CAP_BYTES = int(os.environ.get("TEI_WIDEN_CAP_BYTES", str(256 << 20)))
 
+# Row floor for widen="auto" (r7): tables whose per-row compute is CHEAP
+# relative to an exchange (one tokenize pass feeding an aggregate —
+# bm25, top-terms, vocab census) measurably LOSE from widening at the
+# fixture row counts (the extra exchange costs more than the single-core
+# scan it parallelizes), but re-hit the one-row-group serialization as
+# soon as the same single-file table carries ~10x the rows.  Byte size is
+# a poor proxy here — the fixture corpora dictionary-compress ~100:1 —
+# so the gate reads the parquet footer ROW COUNT (metadata only,
+# memoized like the schema).  Below the floor: leave the scan narrow
+# (measured faster).  Above it: widen (single-core tokenize grows
+# linearly with rows while the round-robin shuffle stays bytes-cheap).
+# Calibrated on single-row-group corpora of 5k/50k/500k rows (r7 A/B:
+# bm25_topk 0.81/1.44/12.6 narrow vs 0.93/1.67/6.2 widened,
+# doc_top_terms 0.94/3.3/28.4 vs 1.21/1.70/6.9): crossover sits between
+# 20k and 100k rows, so 30k keeps the known-loss regime narrow and
+# captures the 2-4x wins above it.
+_WIDEN_MIN_ROWS = int(os.environ.get("TEI_WIDEN_MIN_ROWS", str(30_000)))
+_ROWS_MEMO: dict[str, int] = {}
+
 
 def table_size(sf_dir: str, name: str) -> int:
     """On-disk bytes of a registry table (0 when unknown) — the widen
@@ -51,7 +70,25 @@ def table_size(sf_dir: str, name: str) -> int:
         return 0
 
 
-def widen_small(df: DataFrame, size_bytes: int) -> DataFrame:
+def table_rows(sf_dir: str, name: str) -> int:
+    """Footer row count of a registry table (0 when unknown) — metadata
+    only, memoized; the widen="auto" gate's compute-volume proxy."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    n = _ROWS_MEMO.get(path)
+    if n is None:
+        try:
+            import pyarrow.parquet as pq
+
+            n = pq.ParquetFile(path).metadata.num_rows
+        except Exception:
+            n = 0
+        _ROWS_MEMO[path] = n
+    return n
+
+
+def widen_small(
+    df: DataFrame, size_bytes: int, rows: int | None = None
+) -> DataFrame:
     """Scale-adaptive scan fan-out (guide §2.5 "input skew": one small /
     unsplittable file caps stage parallelism at its row-group count).
     The driver test tables are single-row-group parquet files, so every
@@ -59,16 +96,25 @@ def widen_small(df: DataFrame, size_bytes: int) -> DataFrame:
     task regardless of cluster size.  For inputs small enough that the
     round-robin shuffle is negligible (<= _WIDEN_CAP_BYTES, default
     256 MB), repartition to cluster parallelism; for anything larger the
-    scan's own splits provide parallelism and this is a no-op.  Row-set
-    semantics are unchanged — only physical placement moves."""
+    scan's own splits provide parallelism and this is a no-op.  With a
+    ``rows`` hint the fan-out additionally declines below
+    _WIDEN_MIN_ROWS — the regime where the exchange costs more than the
+    narrow compute it would parallelize (measured; see gate comment).
+    Row-set semantics are unchanged — only physical placement moves."""
     if size_bytes <= 0 or size_bytes > _WIDEN_CAP_BYTES:
+        return df
+    if rows is not None and rows < _WIDEN_MIN_ROWS:
         return df
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
 def load(
-    spark: SparkSession, sf_dir: str, name: str, widen: bool = False
+    spark: SparkSession, sf_dir: str, name: str, widen: bool | str = False
 ) -> DataFrame:
+    """``widen=True``: fan the scan out whenever the file is under the
+    byte cap.  ``widen="auto"``: additionally require the footer row
+    count to clear _WIDEN_MIN_ROWS — for cheap-per-row consumers where
+    the exchange only pays for itself once the table is large."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
@@ -83,7 +129,8 @@ def load(
             size = os.path.getsize(path)
         except OSError:
             size = 0
-        df = widen_small(df, size)
+        rows = table_rows(sf_dir, name) if widen == "auto" else None
+        df = widen_small(df, size, rows=rows)
     return df
 
 

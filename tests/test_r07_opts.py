@@ -95,6 +95,27 @@ def test_widen_small_gates_on_size(spark):
     assert sorted(r.id for r in wide.collect()) == list(range(100))
 
 
+def test_widen_small_row_floor(spark):
+    """The widen="auto" row gate: a rows hint below _WIDEN_MIN_ROWS keeps
+    the scan narrow (the measured-loss regime), at/above it widens, and
+    no hint preserves the unconditional-widen behavior."""
+    from tei_chunker_spark.sources import tables
+
+    df = spark.range(100)
+    floor = tables._WIDEN_MIN_ROWS
+    assert widen_small(df, 1 << 20, rows=floor - 1) is df
+    wide = widen_small(df, 1 << 20, rows=floor)
+    assert wide.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert widen_small(df, 1 << 20, rows=None) is not df
+    # footer row counts drive load(widen="auto"): sf0.01 documents is far
+    # below the floor, so the loaded frame keeps the scan's partitioning
+    narrow = tables.load(spark, "/root/testdata/sf0.01", "documents",
+                         widen="auto")
+    plain = tables.load(spark, "/root/testdata/sf0.01", "documents")
+    assert narrow.rdd.getNumPartitions() == plain.rdd.getNumPartitions()
+    assert tables.table_rows("/root/testdata/sf0.01", "documents") > 0
+
+
 def test_norm_precompute_cosine_bit_identical(spark):
     """cosine_from_norms over with_norm must equal inline cosine exactly
     (no rounding tolerance — same IEEE expression trees)."""
