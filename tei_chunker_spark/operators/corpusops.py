@@ -1041,7 +1041,12 @@ def cdc_segment_census(documents: DataFrame) -> DataFrame:
     hash agg on seg_hash with linear join fan-in, exactly like
     boilerplate_stats.  Blank docs have zero segments and re-enter via
     the final left join (NULL ratio)."""
-    t = tokens_with_count(documents)
+    # Materialize the tokenized table once (r7, lazy localCheckpoint —
+    # same device as dedup.py's posting tables): it feeds the segment
+    # explode AND the final per-doc re-join, which otherwise re-ran the
+    # whole tokenize from parquet (plan showed 6 scans / 2 Windows / 0
+    # reuse for this query before the barrier).
+    t = tokens_with_count(documents).localCheckpoint(eager=False)
     # blank docs split to [''] — the guard stops the phantom segment
     tokd = t.select(
         "doc_id",
@@ -1074,7 +1079,9 @@ def cdc_segment_census(documents: DataFrame) -> DataFrame:
                 ),
             )
         ).alias("seg_hash"),
-    )
+    ).localCheckpoint(eager=False)
+    # ^ seg feeds the corpus census AND the per-doc join; without the
+    # barrier the per-doc window + segment aggregate executed twice.
     cf = seg.groupBy("seg_hash").agg(F.count(F.lit(1)).alias("n_occ"))
     pd = (
         seg.join(cf, "seg_hash")
