@@ -1068,12 +1068,18 @@ def incremental_dedup_census(base: DataFrame, new: DataFrame) -> DataFrame:
     base_norm = (
         base.select(F.md5(normalized_text(F.col("text"))).alias("nh")).distinct()
     )
+    # One pass over the batch (r7 lazy localCheckpoint): n feeds the two
+    # min-id aggregates AND the gate join — unbarriered, each consumer
+    # replayed the batch union and both md5/normal-form projections
+    # (final plan: 15 of 17 parquet scans).  The checkpoint is
+    # batch-sized and 4 narrow columns, so the memory trade is the
+    # operator's own "daily work scales with the delta" contract.
     n = new.select(
         "doc_id",
         "source",
         F.md5("text").alias("h"),
         F.md5(normalized_text(F.col("text"))).alias("nh"),
-    )
+    ).localCheckpoint(eager=False)
     min_h = n.groupBy("h").agg(F.min("doc_id").alias("min_id_h"))
     min_nh = n.groupBy("nh").agg(F.min("doc_id").alias("min_id_nh"))
     j = (
