@@ -969,7 +969,9 @@ def substring_dup_spans(documents: DataFrame, k: int = 8) -> DataFrame:
         .otherwise(F.size("tok"))
         .cast("long")
         .alias("n_tokens"),
-    )
+    ).localCheckpoint(eager=False)
+    # ^ t feeds the window-hash explode AND the final per-doc re-join;
+    # the lazy barrier stops the tokenize re-running per consumer (r7).
     # sequence(1, n) DESCENDS in Spark when n < 1 — the when-guard makes
     # sub-k documents produce an empty array (DuckDB's generate_series is
     # already empty there).
@@ -984,7 +986,12 @@ def substring_dup_spans(documents: DataFrame, k: int = 8) -> DataFrame:
                 F.array().cast("array<string>")
             )
         ).alias("pos", "w_hash"),
-    ).select("doc_id", (F.col("pos") + 1).alias("start"), "w_hash")
+    ).select(
+        "doc_id", (F.col("pos") + 1).alias("start"), "w_hash"
+    ).localCheckpoint(eager=False)
+    # ^ wins feeds the occurrence aggregate AND the postings join; the
+    # barrier runs the per-token md5 window transform once (r7 — the
+    # heaviest per-row compute in this operator).
     dup_hashes = (
         wins.groupBy("w_hash")
         .agg(F.count(F.lit(1)).alias("n_occ"))
